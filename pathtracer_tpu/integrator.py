@@ -1,0 +1,176 @@
+"""Bounce-synchronous megakernel path tracer.
+
+TPU-native inversion of the reference's recursive per-pixel `trace_path`
+(`path_tracer/src/integrator.ml:30-68`): the whole sample wavefront advances
+one bounce at a time, carrying (origin, direction, attenuation, alive,
+radiance) as SoA arrays; scatter events are masked selects; the film is
+per-pixel radiance sums finished by one reconstruction conv + gamma.
+
+Sampling parity with the reference (`integrator.ml:89-112`):
+  - sampler dimension count D = 2 + 2*max_bounces
+  - sample offset = y*W + x + pass*spp   (note `pass*spp`, NOT `pass*W*H` —
+    a reference quirk that must be replicated for pixel parity)
+  - dims (0,1) jitter the pixel; dims (2+2i, 3+2i) drive bounce i
+  - cx = (x+dx)/W, cy = 1-(y+dy)/H; film splat lands on the sample's own
+    pixel since write_sample truncates pixel+jitter coords (film_tile.ml:40-45)
+Radiance identity: result = sum_i emit_i*prod(attn_<i) + prod(attn)*background
+on miss; materials never emit (material.ml:59) so only the background term is
+live in the path tracer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import film
+from .camera import Camera
+from .ops import shading, spheres, vec
+from .ops.lds import Sampler
+from .scene import SphereScene, eval_texture
+
+__all__ = ["trace", "make_pass_fn", "make_render_fn", "render_with_progress"]
+
+
+def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
+          background: Callable, intersect_fn=None):
+    """Trace a wavefront of rays to completion; returns (radiance (N,3),
+    segments traced (scalar int32))."""
+    if intersect_fn is None:
+        intersect_fn = lambda s, o, dd: spheres.intersect_brute(
+            s.center, s.radius, s.valid, o, dd)
+    n = org.shape[0]
+    dtype = org.dtype
+    attn = jnp.ones((n, 3), dtype)
+    rad = jnp.zeros((n, 3), dtype)
+    alive = jnp.ones((n,), bool)
+    segments = jnp.zeros((), jnp.int32)
+
+    for bounce in range(max_bounces):
+        segments = segments + jnp.sum(alive.astype(jnp.int32))
+        t, idx, hit = intersect_fn(scene, org, d)
+        hit = hit & alive
+        miss = alive & ~hit
+        rad = rad + vec.where3(miss, attn * background(d), jnp.zeros_like(rad))
+
+        # --- hit shading (computed for all lanes, applied where hit) ---
+        point = org + t[..., None] * d
+        center = scene.center[idx]
+        normal = vec.normalize(point - center)
+        hit_front = vec.dot(d, normal) < 0.0
+        normal = vec.where3(hit_front, normal, -normal)
+
+        # spherical uv from the (possibly flipped) normal (sphere.ml:25-33)
+        ny = jnp.clip(normal[..., 1], -1.0, 1.0)
+        theta = jnp.arccos(-ny)
+        phi = np.float32(np.pi) + jnp.arctan2(-normal[..., 2], normal[..., 0])
+        u_tex = phi * np.float32(0.5 / np.pi)
+        v_tex = theta * np.float32(1.0 / np.pi)
+        albedo = eval_texture(
+            scene.tex_kind[idx], scene.color_a[idx], scene.color_b[idx],
+            scene.checker_w[idx], scene.checker_h[idx], u_tex, v_tex)
+
+        q = shading.shader_quat(normal)
+        from .ops import quat as quat_ops
+        omega_i = quat_ops.rotate(q, -d)
+
+        u = sampler.get(offset, 2 + 2 * bounce)
+        v = sampler.get(offset, 3 + 2 * bounce)
+        wo, attn_mult, ok = shading.scatter(
+            scene.mat_kind[idx], albedo, scene.ior[idx], scene.ior_inv[idx],
+            omega_i, hit_front, u, v)
+
+        dir_world = quat_ops.rotate_inv(q, wo)
+        new_org = shading.world_ray(point, dir_world)
+
+        alive = hit & ok
+        org = vec.where3(alive, new_org, org)
+        d = vec.where3(alive, dir_world, d)
+        attn = jnp.where(alive[..., None], attn * attn_mult, attn)
+    return rad, segments
+
+
+def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
+                 spp: int, max_bounces: int, dtype=jnp.float32, intersect_fn=None,
+                 dynamic_rows: bool = False):
+    """Build pass_fn(scene, pass_idx[, row_ids]) -> (radiance sums, segments).
+
+    With dynamic_rows=True the pass_fn takes a traced (R,) int32 array of
+    global row indices and returns (R, W, 3) sums — this is the unit of
+    image-space sharding for `shard_map` (the tile analog, integrator.ml:132).
+    """
+    sampler = Sampler(2 + 2 * max_bounces)
+    xs = np.arange(width)
+    xf32 = xs.astype(np.float32)
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+
+    def pass_fn(scene: SphereScene, pass_idx, row_ids=None):
+        if row_ids is None:
+            row_ids = jnp.arange(height, dtype=jnp.int32)
+        rows = row_ids.shape[0]
+        # offset = y*W + x + pass*spp (integrator.ml:98)
+        offset = (row_ids[:, None].astype(jnp.uint32) * np.uint32(width)
+                  + jnp.asarray(xs, jnp.uint32)[None, :]
+                  + pass_idx.astype(jnp.uint32) * np.uint32(spp))
+        dx = sampler.get(offset, 0)
+        dy = sampler.get(offset, 1)
+        cx = (xf32[None, :] + dx) * inv_w
+        cy = 1.0 - (row_ids[:, None].astype(jnp.float32) + dy) * inv_h
+        dirs = camera.ray_dirs(cx, cy, dtype).reshape(-1, 3)
+        org = jnp.zeros_like(dirs)
+        rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
+                          max_bounces, background, intersect_fn)
+        return rad.reshape(rows, width, 3), segs
+
+    if not dynamic_rows:
+        return lambda scene, pass_idx: pass_fn(scene, pass_idx, None)
+    return pass_fn
+
+
+def make_render_fn(camera: Camera, background: Callable, width: int, height: int,
+                   spp: int, max_bounces: int, dtype=jnp.float32,
+                   filter_order: int = 5, filter_radius: int = 1,
+                   intersect_fn=None):
+    """Build a jitted render(scene) -> (image (H,W,3), total segments)."""
+    pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
+                           dtype, intersect_fn)
+    kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+
+    @jax.jit
+    def render(scene: SphereScene):
+        def body(sums, p):
+            s, segs = pass_fn(scene, p)
+            return sums + s, segs
+
+        sums, segs = lax.scan(body, jnp.zeros((height, width, 3), dtype),
+                              jnp.arange(spp))
+        img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
+        return img, jnp.sum(segs)
+
+    return render
+
+
+def render_with_progress(camera, background, scene, width, height, spp,
+                         max_bounces, dtype=jnp.float32, progress=None,
+                         intersect_fn=None, filter_order=5, filter_radius=1):
+    """Host-driven pass loop (enables the reference-style progress bar;
+    render_command.ml:83-104). Returns (image np.ndarray, segments int)."""
+    pass_fn = jax.jit(make_pass_fn(camera, background, width, height, spp,
+                                   max_bounces, dtype, intersect_fn))
+    kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+    sums = jnp.zeros((height, width, 3), dtype)
+    total_segs = 0
+    for p in range(spp):
+        s, segs = pass_fn(scene, jnp.int32(p))
+        sums = sums + s
+        total_segs += int(segs)
+        if progress is not None:
+            progress(width * height)
+    img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
+    return np.asarray(img), total_segs

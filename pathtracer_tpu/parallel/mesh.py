@@ -1,0 +1,79 @@
+"""Multi-chip data parallelism over a jax.sharding.Mesh.
+
+TPU-native equivalent of the reference's domainslib tile fork-join
+(`integrator.ml:130-156`): the sample grid is sharded over a 2-D device mesh —
+axis "dp" shards spp passes, axis "sp" shards image rows (the tile analog) —
+with `shard_map`. The per-device partial films are reduced with `psum` over
+"dp" (the Chan+stitch equivalent) and remain row-sharded over "sp" until the
+reconstruction conv. Determinism is free: the LDS sampler is positional, so
+the result is independent of how work is laid out across chips
+(low_discrepancy_sequence.ml:33-36 — same property the reference relies on
+for tile-order independence).
+
+Scene/BVH arrays are replicated (the reference shares the immutable BVH
+across domains by shared memory; we broadcast via `jax.device_put`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import film
+from ..integrator import make_pass_fn
+
+__all__ = ["make_mesh", "make_sharded_render_fn"]
+
+
+def make_mesh(dp: int, sp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * sp, (len(devices), dp, sp)
+    dev = np.array(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(dev, ("dp", "sp"))
+
+
+def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
+                           mesh: Mesh, dtype=jnp.float32, intersect_fn=None,
+                           filter_order=5, filter_radius=1):
+    """Build a jitted render(scene) -> (image (H,W,3), segments) running
+    across `mesh` with passes sharded over "dp" and rows over "sp"."""
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert spp % dp == 0, f"spp={spp} must divide over dp={dp}"
+    assert height % sp == 0, f"height={height} must divide over sp={sp}"
+    pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
+                           dtype, intersect_fn, dynamic_rows=True)
+    kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P("dp"), P("sp")),
+             out_specs=(P("sp"), P()))
+    def partial_sums(scene, passes, row_ids):
+        def body(acc, p):
+            s, segs = pass_fn(scene, p, row_ids)
+            return acc + s, segs
+
+        rows = row_ids.shape[0]
+        init = jnp.zeros((rows, width, 3), dtype)
+        # mark the carry as varying over the mesh axes (shard_map vma rules)
+        init = lax.pcast(init, ("dp", "sp"), to="varying")
+        sums, segs = lax.scan(body, init, passes)
+        sums = lax.psum(sums, "dp")
+        total = lax.psum(jnp.sum(segs), ("dp", "sp"))
+        return sums, total
+
+    @jax.jit
+    def render(scene):
+        passes = jnp.arange(spp, dtype=jnp.int32)
+        row_ids = jnp.arange(height, dtype=jnp.int32)
+        sums, segs = partial_sums(scene, passes, row_ids)
+        img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
+        return img, segs
+
+    return render

@@ -1,0 +1,45 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.camera import Camera
+from pathtracer_tpu.integrator import make_render_fn
+from pathtracer_tpu.parallel.mesh import make_mesh, make_sharded_render_fn
+from pathtracer_tpu.scene import DIELECTRIC, LAMBERTIAN, METAL, SceneBuilder
+
+
+def _setup():
+    cam = Camera.create(eye=(0, 0, 5), target=(0, 0, 0), up=(0, 1, 0),
+                        aspect=1.0, vertical_fov_deg=60.0)
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 0), 1.0, METAL, color_a=(0.9, 0.8, 0.7))
+    b.add_sphere((-1.5, 0.2, 0.5), 0.6, LAMBERTIAN, color_a=(0.2, 0.4, 0.6))
+    b.add_sphere((1.2, -0.5, 1.0), 0.4, DIELECTRIC)
+    scene = b.build(camera=cam)
+
+    def bg(d):
+        t = 0.5 * (d[..., 1] + 1.0)
+        return jnp.stack([t, t * 0.9, jnp.ones_like(t)], axis=-1)
+
+    return cam, scene, bg
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device():
+    cam, scene, bg = _setup()
+    W, H, SPP, B = 32, 16, 8, 4
+    ref_render = make_render_fn(cam, bg, W, H, SPP, B)
+    want, want_segs = ref_render(scene)
+
+    for dp, sp in [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)]:
+        mesh = make_mesh(dp, sp)
+        render = make_sharded_render_fn(cam, bg, W, H, SPP, B, mesh)
+        got, segs = render(scene)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=f"dp={dp} sp={sp}")
+        assert int(segs) == int(want_segs), (dp, sp)
