@@ -66,17 +66,19 @@ def run_shirley(argv=None) -> None:
     print(f"#spheres = {int(np.asarray(scene.valid).sum())}")
     print(f"build time = {build_ms:.3f} ms")
 
+    backend = "xla" if args.interpreter else None
     t0 = time.monotonic()
     if args.no_progress:
         render = make_render_fn(cam, background, width, height,
-                                args.samples_per_pixel, args.max_ray_bounces)
+                                args.samples_per_pixel, args.max_ray_bounces,
+                                backend=backend)
         img, _segs = render(scene)
         img = np.asarray(img)
     else:
         bar = ProgressBar(width * height * args.samples_per_pixel)
         img, _segs = render_with_progress(
             cam, background, scene, width, height, args.samples_per_pixel,
-            args.max_ray_bounces, progress=bar.update)
+            args.max_ray_bounces, progress=bar.update, backend=backend)
         bar.close()
     elapsed_ms = (time.monotonic() - t0) * 1e3
     write_png(args.output, img)

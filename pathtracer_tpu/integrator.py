@@ -38,30 +38,77 @@ __all__ = ["trace", "make_pass_fn", "make_render_fn", "render_with_progress"]
 
 
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
-          background: Callable, intersect_fn=None):
+          background: Callable, intersect_fn=None, select_mode: str = "gather",
+          backend: str | None = None):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
-    segments traced (scalar int32))."""
-    if intersect_fn is None:
-        intersect_fn = lambda s, o, dd: spheres.intersect_brute(
-            s.center, s.radius, s.valid, o, dd)
+    segments traced (scalar int32)).
+
+    select_mode: how the winning sphere's shading params reach the rays —
+    "gather" (scene.shade_pack[idx]) or "onehot" (MXU row-select matmul).
+    backend: "pallas" (TPU VPU kernel for the intersection — the Rust-AVX
+    analog), "xla" (fused jnp), or None = pallas on TPU else xla.
+    """
+    from .ops import quat as quat_ops
+    from .scene import shade_pack_columns
+    from .ops.pallas import sphere_kernel as sk
+
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    custom_intersect = intersect_fn is not None
+    if not custom_intersect:
+        if backend.startswith("pallas"):
+            tables = sk.pack_spheres_pallas(scene.center, scene.radius,
+                                            scene.valid)
+        else:
+            packed = spheres.pack_for_intersect(scene.center, scene.radius,
+                                                scene.valid)
+
     n = org.shape[0]
     dtype = org.dtype
-    attn = jnp.ones((n, 3), dtype)
-    rad = jnp.zeros((n, 3), dtype)
-    alive = jnp.ones((n,), bool)
+    # the pallas kernel wants ray-count a multiple of its block; pad with
+    # dead rays (alive=False from the start, sliced off at the end)
+    n_pad = (-n) % sk.RAY_BLOCK if (not custom_intersect
+                                    and backend.startswith("pallas")) else 0
+    if n_pad:
+        org = jnp.concatenate([org, jnp.zeros((n_pad, 3), dtype)])
+        d = jnp.concatenate([d, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], dtype), (n_pad, 3))])
+        offset = jnp.concatenate([offset, jnp.zeros((n_pad,), offset.dtype)])
+    np_tot = n + n_pad
+    attn = jnp.ones((np_tot, 3), dtype)
+    rad = jnp.zeros((np_tot, 3), dtype)
+    alive = jnp.arange(np_tot) < n if n_pad else jnp.ones((np_tot,), bool)
     segments = jnp.zeros((), jnp.int32)
 
     for bounce in range(max_bounces):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
-        t, idx, hit = intersect_fn(scene, org, d)
+        if custom_intersect:
+            t, idx, hit = intersect_fn(scene, org, d)
+            pk_rows = scene.shade_pack[idx]
+        else:
+            if backend.startswith("pallas"):
+                at, idx, hit, inv_a = sk.intersect_spheres_pallas(
+                    tables, org, d, interpret=(backend == "pallas_interpret"))
+            else:
+                at, idx, hit, inv_a = spheres.intersect_packed(
+                    *packed, scene.valid, org, d)
+            if select_mode == "onehot":
+                pk_rows = spheres.onehot_select(idx, scene.count,
+                                                scene.shade_pack)
+            else:
+                pk_rows = scene.shade_pack[idx]
+            # stable per-ray t from the winner's params (sphere.ml:44-53)
+            a = vec.quadrance(d)
+            r_h = pk_rows[:, 3]
+            t = spheres.stable_t(pk_rows[:, 0:3], r_h * r_h, org, d, a, inv_a)
         hit = hit & alive
         miss = alive & ~hit
         rad = rad + vec.where3(miss, attn * background(d), jnp.zeros_like(rad))
 
         # --- hit shading (computed for all lanes, applied where hit) ---
+        pk = shade_pack_columns(pk_rows)
         point = org + t[..., None] * d
-        center = scene.center[idx]
-        normal = vec.normalize(point - center)
+        normal = vec.normalize(point - pk["center"])
         hit_front = vec.dot(d, normal) < 0.0
         normal = vec.where3(hit_front, normal, -normal)
 
@@ -71,18 +118,16 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
         phi = np.float32(np.pi) + jnp.arctan2(-normal[..., 2], normal[..., 0])
         u_tex = phi * np.float32(0.5 / np.pi)
         v_tex = theta * np.float32(1.0 / np.pi)
-        albedo = eval_texture(
-            scene.tex_kind[idx], scene.color_a[idx], scene.color_b[idx],
-            scene.checker_w[idx], scene.checker_h[idx], u_tex, v_tex)
+        albedo = eval_texture(pk["tex_kind"], pk["color_a"], pk["color_b"],
+                              pk["checker_w"], pk["checker_h"], u_tex, v_tex)
 
         q = shading.shader_quat(normal)
-        from .ops import quat as quat_ops
         omega_i = quat_ops.rotate(q, -d)
 
         u = sampler.get(offset, 2 + 2 * bounce)
         v = sampler.get(offset, 3 + 2 * bounce)
         wo, attn_mult, ok = shading.scatter(
-            scene.mat_kind[idx], albedo, scene.ior[idx], scene.ior_inv[idx],
+            pk["mat_kind"], albedo, pk["ior"], pk["ior_inv"],
             omega_i, hit_front, u, v)
 
         dir_world = quat_ops.rotate_inv(q, wo)
@@ -92,12 +137,15 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
         org = vec.where3(alive, new_org, org)
         d = vec.where3(alive, dir_world, d)
         attn = jnp.where(alive[..., None], attn * attn_mult, attn)
+    if n_pad:
+        rad = rad[:n]
     return rad, segments
 
 
 def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                  spp: int, max_bounces: int, dtype=jnp.float32, intersect_fn=None,
-                 dynamic_rows: bool = False):
+                 dynamic_rows: bool = False, select_mode: str = "gather",
+                 backend: str | None = None):
     """Build pass_fn(scene, pass_idx[, row_ids]) -> (radiance sums, segments).
 
     With dynamic_rows=True the pass_fn takes a traced (R,) int32 array of
@@ -111,13 +159,18 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
     inv_h = np.float32(1.0 / height)
 
     def pass_fn(scene: SphereScene, pass_idx, row_ids=None):
+        """pass_idx may be a scalar or a (pb,) vector of pass indices — a
+        vector traces all those passes as one fused wavefront and returns
+        their summed radiance (better TPU utilization at small images)."""
         if row_ids is None:
             row_ids = jnp.arange(height, dtype=jnp.int32)
         rows = row_ids.shape[0]
+        pass_idx = jnp.asarray(pass_idx)
+        lead = pass_idx.shape  # () or (pb,)
         # offset = y*W + x + pass*spp (integrator.ml:98)
+        poff = (pass_idx.astype(jnp.uint32) * np.uint32(spp)).reshape(lead + (1, 1))
         offset = (row_ids[:, None].astype(jnp.uint32) * np.uint32(width)
-                  + jnp.asarray(xs, jnp.uint32)[None, :]
-                  + pass_idx.astype(jnp.uint32) * np.uint32(spp))
+                  + jnp.asarray(xs, jnp.uint32)[None, :]) + poff
         dx = sampler.get(offset, 0)
         dy = sampler.get(offset, 1)
         cx = (xf32[None, :] + dx) * inv_w
@@ -125,31 +178,48 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
         dirs = camera.ray_dirs(cx, cy, dtype).reshape(-1, 3)
         org = jnp.zeros_like(dirs)
         rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
-                          max_bounces, background, intersect_fn)
-        return rad.reshape(rows, width, 3), segs
+                          max_bounces, background, intersect_fn, select_mode,
+                          backend)
+        rad = rad.reshape(lead + (rows, width, 3))
+        if lead:
+            rad = jnp.sum(rad, axis=0)
+        return rad, segs
 
     if not dynamic_rows:
         return lambda scene, pass_idx: pass_fn(scene, pass_idx, None)
     return pass_fn
 
 
+def default_passes_per_batch(width: int, height: int, spp: int,
+                             target_rays: int = 1 << 19) -> int:
+    """Batch passes so each fused wavefront has ~target_rays rays (bounded by
+    HBM: the intersection working set is rays x spheres)."""
+    pb = max(1, target_rays // max(1, width * height))
+    while spp % pb:
+        pb -= 1
+    return pb
+
+
 def make_render_fn(camera: Camera, background: Callable, width: int, height: int,
                    spp: int, max_bounces: int, dtype=jnp.float32,
                    filter_order: int = 5, filter_radius: int = 1,
-                   intersect_fn=None):
+                   intersect_fn=None, passes_per_batch: int | None = None,
+                   select_mode: str = "gather", backend: str | None = None):
     """Build a jitted render(scene) -> (image (H,W,3), total segments)."""
     pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
-                           dtype, intersect_fn)
+                           dtype, intersect_fn, select_mode=select_mode,
+                           backend=backend)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+    pb = passes_per_batch or default_passes_per_batch(width, height, spp)
 
     @jax.jit
     def render(scene: SphereScene):
-        def body(sums, p):
-            s, segs = pass_fn(scene, p)
+        def body(sums, p_vec):
+            s, segs = pass_fn(scene, p_vec)
             return sums + s, segs
 
         sums, segs = lax.scan(body, jnp.zeros((height, width, 3), dtype),
-                              jnp.arange(spp))
+                              jnp.arange(spp).reshape(spp // pb, pb))
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, jnp.sum(segs)
 
@@ -158,11 +228,13 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
 
 def render_with_progress(camera, background, scene, width, height, spp,
                          max_bounces, dtype=jnp.float32, progress=None,
-                         intersect_fn=None, filter_order=5, filter_radius=1):
+                         intersect_fn=None, filter_order=5, filter_radius=1,
+                         backend=None):
     """Host-driven pass loop (enables the reference-style progress bar;
     render_command.ml:83-104). Returns (image np.ndarray, segments int)."""
     pass_fn = jax.jit(make_pass_fn(camera, background, width, height, spp,
-                                   max_bounces, dtype, intersect_fn))
+                                   max_bounces, dtype, intersect_fn,
+                                   backend=backend))
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
     sums = jnp.zeros((height, width, 3), dtype)
     total_segs = 0

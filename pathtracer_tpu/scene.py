@@ -41,10 +41,39 @@ class SphereScene(NamedTuple):
     ior: jnp.ndarray  # (S,) f32 — dielectric index
     ior_inv: jnp.ndarray  # (S,) f32
     valid: jnp.ndarray  # (S,) bool — False for padding entries
+    shade_pack: jnp.ndarray  # (S, 16) f32 — all shading params, one gather/hit
 
     @property
     def count(self) -> int:
         return self.center.shape[0]
+
+
+# shade_pack column layout
+_PK_CENTER = slice(0, 3)
+_PK_RADIUS = 3
+_PK_MAT = 4
+_PK_TEX = 5
+_PK_CA = slice(6, 9)
+_PK_CB = slice(9, 12)
+_PK_CW = 12
+_PK_CH = 13
+_PK_IOR = 14
+_PK_IOR_INV = 15
+
+
+def shade_pack_columns(pk):
+    """Unpack a gathered (N, 16) shading row into named columns."""
+    return dict(
+        center=pk[..., _PK_CENTER],
+        mat_kind=pk[..., _PK_MAT],
+        tex_kind=pk[..., _PK_TEX],
+        color_a=pk[..., _PK_CA],
+        color_b=pk[..., _PK_CB],
+        checker_w=pk[..., _PK_CW],
+        checker_h=pk[..., _PK_CH],
+        ior=pk[..., _PK_IOR],
+        ior_inv=pk[..., _PK_IOR_INV],
+    )
 
 
 class SceneBuilder:
@@ -92,6 +121,17 @@ class SceneBuilder:
         if camera is not None:
             # scene-to-camera-space pre-transform (shirley_spheres/bin/main.ml:258-261)
             center[:n] = camera.transform_points(center[:n])
+        pack = np.zeros((s, 16), np.float64)
+        pack[:, 0:3] = center
+        pack[:, 3] = radius
+        pack[:, 4] = mat_kind
+        pack[:, 5] = tex_kind
+        pack[:, 6:9] = color_a
+        pack[:, 9:12] = color_b
+        pack[:, 12] = checker_w
+        pack[:, 13] = checker_h
+        pack[:, 14] = ior
+        pack[:, 15] = 1.0 / ior
         return SphereScene(
             center=jnp.asarray(center, dtype),
             radius=jnp.asarray(radius, dtype),
@@ -104,6 +144,7 @@ class SceneBuilder:
             ior=jnp.asarray(ior, dtype),
             ior_inv=jnp.asarray(1.0 / ior, dtype),
             valid=jnp.asarray(valid),
+            shade_pack=jnp.asarray(pack, dtype),
         )
 
 
