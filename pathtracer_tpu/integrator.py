@@ -39,7 +39,7 @@ __all__ = ["trace", "make_pass_fn", "make_render_fn", "render_with_progress"]
 
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
-          backend: str | None = None):
+          backend: str | None = None, alive0=None):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
     segments traced (scalar int32)).
 
@@ -78,6 +78,9 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     attn = jnp.ones((np_tot, 3), dtype)
     rad = jnp.zeros((np_tot, 3), dtype)
     alive = jnp.arange(np_tot) < n if n_pad else jnp.ones((np_tot,), bool)
+    if alive0 is not None:
+        alive = alive & jnp.concatenate(
+            [alive0, jnp.zeros((n_pad,), bool)]) if n_pad else alive & alive0
     segments = jnp.zeros((), jnp.int32)
 
     for bounce in range(max_bounces):
@@ -88,7 +91,8 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
         else:
             if backend.startswith("pallas"):
                 at, idx, hit, inv_a = sk.intersect_spheres_pallas(
-                    tables, org, d, interpret=(backend == "pallas_interpret"))
+                    tables, org, d, alive,
+                    interpret=(backend == "pallas_interpret"))
             else:
                 at, idx, hit, inv_a = spheres.intersect_packed(
                     *packed, scene.valid, org, d)
@@ -142,21 +146,78 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     return rad, segments
 
 
+TILE = 32  # pixels per side of an image tile in tiled ray order
+
+
 def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                  spp: int, max_bounces: int, dtype=jnp.float32, intersect_fn=None,
                  dynamic_rows: bool = False, select_mode: str = "gather",
-                 backend: str | None = None):
+                 backend: str | None = None, tiled: bool | None = None):
     """Build pass_fn(scene, pass_idx[, row_ids]) -> (radiance sums, segments).
 
     With dynamic_rows=True the pass_fn takes a traced (R,) int32 array of
     global row indices and returns (R, W, 3) sums — this is the unit of
     image-space sharding for `shard_map` (the tile analog, integrator.ml:132).
+
+    tiled (default on for the pallas backend): trace rays in 32x32-image-tile
+    order so each 1024-ray kernel block is one spatially compact tile — dead
+    paths cluster (whole sky tiles die at bounce 0) and the kernel's
+    per-block early-exit actually fires. The reference's Tile.split work
+    decomposition (tile.ml:28-39) reborn as a SIMD-coherence layout.
     """
     sampler = Sampler(2 + 2 * max_bounces)
     xs = np.arange(width)
     xf32 = xs.astype(np.float32)
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
+    if tiled is None:
+        import jax as _jax
+        tiled = (not dynamic_rows and backend != "xla"
+                 and _jax.default_backend() == "tpu")
+
+    if tiled:
+        hp = -(-height // TILE) * TILE
+        wp = -(-width // TILE) * TILE
+        tyn, txn = hp // TILE, wp // TILE
+        ty, tx, iy, ix = np.meshgrid(np.arange(tyn), np.arange(txn),
+                                     np.arange(TILE), np.arange(TILE),
+                                     indexing="ij")
+        y_ord = (ty * TILE + iy).transpose(0, 1, 2, 3).reshape(-1)
+        x_ord = (tx * TILE + ix).reshape(-1)
+        valid_ord = (y_ord < height) & (x_ord < width)
+        y_c = np.minimum(y_ord, height - 1)
+        x_c = np.minimum(x_ord, width - 1)
+        pix_ord = (y_c * width + x_c).astype(np.uint32)
+
+        def untile(rad_flat):
+            """(tyn*txn*TILE*TILE, 3) tile-major -> (H, W, 3)."""
+            img = rad_flat.reshape(tyn, txn, TILE, TILE, 3)
+            img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(hp, wp, 3)
+            return img[:height, :width]
+
+        def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None):
+            pass_idx = jnp.asarray(pass_idx)
+            lead = pass_idx.shape
+            poff = (pass_idx.astype(jnp.uint32) * np.uint32(spp)).reshape(
+                lead + (1,))
+            offset = jnp.asarray(pix_ord)[None] + poff  # (lead..., Np)
+            dx = sampler.get(offset, 0)
+            dy = sampler.get(offset, 1)
+            cx = (jnp.asarray(x_c, jnp.float32) + dx) * inv_w
+            cy = 1.0 - (jnp.asarray(y_c, jnp.float32) + dy) * inv_h
+            dirs = camera.ray_dirs(cx, cy, dtype).reshape(-1, 3)
+            org = jnp.zeros_like(dirs)
+            alive0 = jnp.broadcast_to(jnp.asarray(valid_ord),
+                                      offset.shape).reshape(-1)
+            rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
+                              max_bounces, background, intersect_fn,
+                              select_mode, backend, alive0=alive0)
+            rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
+            if lead:
+                rad = jnp.sum(rad, axis=0)
+            return untile(rad), segs
+
+        return tiled_pass_fn
 
     def pass_fn(scene: SphereScene, pass_idx, row_ids=None):
         """pass_idx may be a scalar or a (pb,) vector of pass indices — a

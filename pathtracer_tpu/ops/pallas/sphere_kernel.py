@@ -37,8 +37,24 @@ LANES = 128
 FULL_UNROLL = False
 
 
-def _kernel(sph_ref, d0_ref, d1_ref, d2_ref,
+def _kernel(sph_ref, alive_ref, d0_ref, d1_ref, d2_ref,
             o0_ref, o1_ref, o2_ref, at_ref, idx_ref, *, n_spheres):
+    # Block-level early exit: rays are laid out in image order, so dead lanes
+    # cluster (sky pixels die at bounce 0; terminated paths stay dead). A
+    # block with no live ray skips the whole sphere loop — the TPU analog of
+    # warp-coherent early-out.
+    at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
+    idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+    any_alive = jnp.max(alive_ref[:]) > 0
+
+    @pl.when(any_alive)
+    def _run():
+        _kernel_body(sph_ref, d0_ref, d1_ref, d2_ref, o0_ref, o1_ref, o2_ref,
+                     at_ref, idx_ref, n_spheres)
+
+
+def _kernel_body(sph_ref, d0_ref, d1_ref, d2_ref,
+                 o0_ref, o1_ref, o2_ref, at_ref, idx_ref, n_spheres):
     d0, d1, d2 = d0_ref[:], d1_ref[:], d2_ref[:]
     o0, o1, o2 = o0_ref[:], o1_ref[:], o2_ref[:]
     od = o0 * d0 + o1 * d1 + o2 * d2
@@ -98,12 +114,13 @@ def pack_spheres_pallas(center, radius, valid):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def intersect_spheres_pallas(tables, org, d, interpret=False):
+def intersect_spheres_pallas(tables, org, d, alive=None, interpret=False):
     """Nearest-hit of N rays against the packed sphere tables.
 
     org, d: (N, 3) float32, N must be a multiple of RAY_BLOCK (pad with
-    degenerate rays). Returns (at (N,) = a*t key, idx (N,) int32,
-    hit (N,) bool, inv_a (N,)).
+    degenerate rays); alive: optional (N,) bool lane mask enabling per-block
+    early exit. Returns (at (N,) = a*t key, idx (N,) int32, hit (N,) bool,
+    inv_a (N,)).
     """
     n = org.shape[0]
     assert n % RAY_BLOCK == 0, n
@@ -115,6 +132,10 @@ def intersect_spheres_pallas(tables, org, d, interpret=False):
     def ray_comp(x):
         return x.reshape(rows, LANES)
 
+    if alive is None:
+        alive_rows = jnp.ones((rows, LANES), jnp.float32)
+    else:
+        alive_rows = ray_comp(alive.astype(jnp.float32))
     ray_inputs = [ray_comp(d[:, 0]), ray_comp(d[:, 1]), ray_comp(d[:, 2]),
                   ray_comp(org[:, 0]), ray_comp(org[:, 1]), ray_comp(org[:, 2])]
 
@@ -124,12 +145,12 @@ def intersect_spheres_pallas(tables, org, d, interpret=False):
     at, idx = pl.pallas_call(
         functools.partial(_kernel, n_spheres=n_spheres),
         grid=(grid,),
-        in_specs=[table_spec] + [ray_spec] * 6,
+        in_specs=[table_spec] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec),
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
         interpret=interpret,
-    )(tables, *ray_inputs)
+    )(tables, alive_rows, *ray_inputs)
     at = at.reshape(n)
     idx = idx.reshape(n)
     a = jnp.sum(d * d, axis=1)
