@@ -85,11 +85,55 @@ def run_shirley(argv=None) -> None:
     print(f"rendered in: {elapsed_ms:.3f} ms")
 
 
+def add_ppm_args(p: argparse.ArgumentParser) -> None:
+    """Stdlib.Arg-style flag set of the PPM scenes (ppm.ml:17-54); both
+    -flag and --flag spellings are accepted."""
+    p.add_argument("-width", "--width", type=int, default=600, metavar="INT",
+                   help="image width")
+    p.add_argument("-height", "--height", type=int, default=600, metavar="INT",
+                   help="image height")
+    p.add_argument("-iterations", "--iterations", type=int, default=10,
+                   metavar="INT", help="# photon-map iterations")
+    p.add_argument("-photon-count", "--photon-count", type=int, default=75000,
+                   metavar="INT", help="#photons per iteration")
+    p.add_argument("-alpha", "--alpha", type=float, default=2.0 / 3.0,
+                   metavar="FLOAT", help="photon-map alpha in (0,1)")
+    p.add_argument("-o", "--output", default="output.png", metavar="FILE",
+                   help="output file")
+    p.add_argument("-no-progress", "--no-progress", action="store_true",
+                   help="suppress progress monitor")
+    p.add_argument("-max-bounces", "--max-bounces", type=int, default=4,
+                   metavar="INT", help="max ray bounces")
+
+
+def run_cornell(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        "cornell-box", description="Render the Cornell box by progressive "
+        "photon mapping.")
+    add_ppm_args(parser)
+    args = parser.parse_args(argv)
+
+    from .models import cornell
+    from .ppm import PPMRenderer
+
+    t0 = time.monotonic()
+    scene, cam, lights = cornell.build(args.width / args.height)
+    renderer = PPMRenderer(scene, cam, lights, args.width, args.height,
+                           iterations=args.iterations,
+                           photon_count=args.photon_count, alpha=args.alpha,
+                           max_bounces=args.max_bounces,
+                           verbose=not args.no_progress)
+    renderer.render(output=args.output)
+    print(f"render time = {(time.monotonic() - t0) * 1e3:.3f} ms")
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     commands = {
         "shirley-spheres": run_shirley,
         "shirley_spheres": run_shirley,
+        "cornell-box": run_cornell,
+        "cornell_box": run_cornell,
     }
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m pathtracer_tpu <command> [args]\n"

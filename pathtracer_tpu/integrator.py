@@ -37,6 +37,116 @@ from .scene import SphereScene, eval_texture
 __all__ = ["trace", "make_pass_fn", "make_render_fn", "render_with_progress"]
 
 
+def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
+                     select_mode: str = "gather"):
+    """Build hit_setup(org, d, alive) -> dict of per-lane hit attributes.
+
+    Unifies sphere and triangle pools (the reference's Shape sum type,
+    cornell-box/bin/main.ml:93-155): nearest hit across both, then all
+    shading inputs (point, flipped normal, uv, material columns) are computed
+    with masked selects. Shared by the path tracer and the photon mapper.
+    """
+    from .ops import triangles as tri_ops
+    from .ops.pallas import sphere_kernel as sk
+    from .scene import TRI_A, TRI_E1, TRI_E2, TRI_MAT, TRI_TEX
+
+    custom_intersect = intersect_fn is not None
+    if not custom_intersect:
+        if backend.startswith("pallas"):
+            tables = sk.pack_spheres_pallas(scene.center, scene.radius,
+                                            scene.valid)
+        else:
+            packed = spheres.pack_for_intersect(scene.center, scene.radius,
+                                                scene.valid)
+    has_tris = scene.tri_count > 0
+    if has_tris:
+        tp = scene.tri_pack
+        tri_comps = tri_ops.pack_for_intersect(
+            tp[:, TRI_A], tp[:, TRI_E1], tp[:, TRI_E2], scene.tri_valid)
+
+    def hit_setup(org, d, alive):
+        if custom_intersect:
+            t_s, idx_s, hit_s = intersect_fn(scene, org, d)
+            pk_rows = scene.shade_pack[idx_s]
+        else:
+            if backend.startswith("pallas"):
+                at, idx_s, hit_s, inv_a = sk.intersect_spheres_pallas(
+                    tables, org, d, alive,
+                    interpret=(backend == "pallas_interpret"))
+            else:
+                at, idx_s, hit_s, inv_a = spheres.intersect_packed(
+                    *packed, scene.valid, org, d)
+            if select_mode == "onehot":
+                pk_rows = spheres.onehot_select(idx_s, scene.count,
+                                                scene.shade_pack)
+            else:
+                pk_rows = scene.shade_pack[idx_s]
+            # stable per-ray t from the winner's params (sphere.ml:44-53)
+            a = vec.quadrance(d)
+            r_h = pk_rows[:, 3]
+            t_s = spheres.stable_t(pk_rows[:, 0:3], r_h * r_h, org, d, a,
+                                   inv_a)
+
+        if has_tris:
+            t_t, idx_t, hit_t = tri_ops.intersect_tris(tri_comps, org, d)
+            tri_rows = scene.tri_pack[idx_t]
+            use_tri = hit_t & (~hit_s | (t_t < t_s))
+            hit = hit_s | hit_t
+        else:
+            use_tri = jnp.zeros(org.shape[:1], bool)
+            hit = hit_s
+
+        # sphere attributes
+        point_s = org + t_s[..., None] * d
+        n_s = vec.normalize(point_s - pk_rows[:, 0:3])
+
+        if has_tris:
+            e1 = tri_rows[:, TRI_E1]
+            e2 = tri_rows[:, TRI_E2]
+            t_rt, u_b, v_b = tri_ops.mt_single(tri_rows[:, TRI_A], e1, e2,
+                                               org, d)
+            # reference hit point is the barycentric combination, not o+t*d
+            # (triangle.ml:31-37)
+            point_t = tri_rows[:, TRI_A] + u_b[:, None] * e1 + v_b[:, None] * e2
+            n_t = vec.normalize(vec.cross(e1, e2))
+            point = vec.where3(use_tri, point_t, point_s)
+            g_normal = vec.where3(use_tri, n_t, n_s)
+            t = jnp.where(use_tri, t_t, t_s)
+        else:
+            point, g_normal, t = point_s, n_s, t_s
+
+        hit_front = vec.dot(d, g_normal) < 0.0
+        normal = vec.where3(hit_front, g_normal, -g_normal)
+
+        # sphere uv from the flipped normal (sphere.ml:25-33)
+        ny = jnp.clip(normal[..., 1], -1.0, 1.0)
+        theta = jnp.arccos(-ny)
+        phi = np.float32(np.pi) + jnp.arctan2(-normal[..., 2], normal[..., 0])
+        u_tex = phi * np.float32(0.5 / np.pi)
+        v_tex = theta * np.float32(1.0 / np.pi)
+        mat_rows = pk_rows[:, 4:16]
+        if has_tris:
+            # triangle uv: barycentric interpolation (triangle.ml:47-57)
+            tx = tri_rows[:, TRI_TEX]
+            w_b = 1.0 - u_b - v_b
+            tri_u = tx[:, 0] * w_b + tx[:, 2] * u_b + tx[:, 4] * v_b
+            tri_v = tx[:, 1] * w_b + tx[:, 3] * u_b + tx[:, 5] * v_b
+            u_tex = jnp.where(use_tri, tri_u, u_tex)
+            v_tex = jnp.where(use_tri, tri_v, v_tex)
+            mat_rows = jnp.where(use_tri[:, None], tri_rows[:, TRI_MAT],
+                                 mat_rows)
+
+        albedo = eval_texture(mat_rows[:, 1], mat_rows[:, 2:5],
+                              mat_rows[:, 5:8], mat_rows[:, 8], mat_rows[:, 9],
+                              u_tex, v_tex)
+        return dict(hit=hit, t=t, point=point, normal=normal,
+                    hit_front=hit_front, albedo=albedo,
+                    mat_kind=mat_rows[:, 0], ior=mat_rows[:, 10],
+                    ior_inv=mat_rows[:, 11])
+
+    return hit_setup
+
+
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
           backend: str | None = None, alive0=None):
@@ -49,26 +159,17 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     analog), "xla" (fused jnp), or None = pallas on TPU else xla.
     """
     from .ops import quat as quat_ops
-    from .scene import shade_pack_columns
     from .ops.pallas import sphere_kernel as sk
 
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    custom_intersect = intersect_fn is not None
-    if not custom_intersect:
-        if backend.startswith("pallas"):
-            tables = sk.pack_spheres_pallas(scene.center, scene.radius,
-                                            scene.valid)
-        else:
-            packed = spheres.pack_for_intersect(scene.center, scene.radius,
-                                                scene.valid)
 
     n = org.shape[0]
     dtype = org.dtype
     # the pallas kernel wants ray-count a multiple of its block; pad with
     # dead rays (alive=False from the start, sliced off at the end)
-    n_pad = (-n) % sk.RAY_BLOCK if (not custom_intersect
-                                    and backend.startswith("pallas")) else 0
+    n_pad = ((-n) % sk.RAY_BLOCK
+             if (intersect_fn is None and backend.startswith("pallas")) else 0)
     if n_pad:
         org = jnp.concatenate([org, jnp.zeros((n_pad, 3), dtype)])
         d = jnp.concatenate([d, jnp.broadcast_to(
@@ -79,63 +180,29 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     rad = jnp.zeros((np_tot, 3), dtype)
     alive = jnp.arange(np_tot) < n if n_pad else jnp.ones((np_tot,), bool)
     if alive0 is not None:
-        alive = alive & jnp.concatenate(
-            [alive0, jnp.zeros((n_pad,), bool)]) if n_pad else alive & alive0
+        alive0_p = (jnp.concatenate([alive0, jnp.zeros((n_pad,), bool)])
+                    if n_pad else alive0)
+        alive = alive & alive0_p
     segments = jnp.zeros((), jnp.int32)
+    hit_setup = make_intersector(scene, backend, intersect_fn, select_mode)
 
     for bounce in range(max_bounces):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
-        if custom_intersect:
-            t, idx, hit = intersect_fn(scene, org, d)
-            pk_rows = scene.shade_pack[idx]
-        else:
-            if backend.startswith("pallas"):
-                at, idx, hit, inv_a = sk.intersect_spheres_pallas(
-                    tables, org, d, alive,
-                    interpret=(backend == "pallas_interpret"))
-            else:
-                at, idx, hit, inv_a = spheres.intersect_packed(
-                    *packed, scene.valid, org, d)
-            if select_mode == "onehot":
-                pk_rows = spheres.onehot_select(idx, scene.count,
-                                                scene.shade_pack)
-            else:
-                pk_rows = scene.shade_pack[idx]
-            # stable per-ray t from the winner's params (sphere.ml:44-53)
-            a = vec.quadrance(d)
-            r_h = pk_rows[:, 3]
-            t = spheres.stable_t(pk_rows[:, 0:3], r_h * r_h, org, d, a, inv_a)
-        hit = hit & alive
+        h = hit_setup(org, d, alive)
+        hit = h["hit"] & alive
         miss = alive & ~hit
         rad = rad + vec.where3(miss, attn * background(d), jnp.zeros_like(rad))
 
-        # --- hit shading (computed for all lanes, applied where hit) ---
-        pk = shade_pack_columns(pk_rows)
-        point = org + t[..., None] * d
-        normal = vec.normalize(point - pk["center"])
-        hit_front = vec.dot(d, normal) < 0.0
-        normal = vec.where3(hit_front, normal, -normal)
-
-        # spherical uv from the (possibly flipped) normal (sphere.ml:25-33)
-        ny = jnp.clip(normal[..., 1], -1.0, 1.0)
-        theta = jnp.arccos(-ny)
-        phi = np.float32(np.pi) + jnp.arctan2(-normal[..., 2], normal[..., 0])
-        u_tex = phi * np.float32(0.5 / np.pi)
-        v_tex = theta * np.float32(1.0 / np.pi)
-        albedo = eval_texture(pk["tex_kind"], pk["color_a"], pk["color_b"],
-                              pk["checker_w"], pk["checker_h"], u_tex, v_tex)
-
-        q = shading.shader_quat(normal)
+        q = shading.shader_quat(h["normal"])
         omega_i = quat_ops.rotate(q, -d)
-
         u = sampler.get(offset, 2 + 2 * bounce)
         v = sampler.get(offset, 3 + 2 * bounce)
         wo, attn_mult, ok = shading.scatter(
-            pk["mat_kind"], albedo, pk["ior"], pk["ior_inv"],
-            omega_i, hit_front, u, v)
+            h["mat_kind"], h["albedo"], h["ior"], h["ior_inv"],
+            omega_i, h["hit_front"], u, v)
 
         dir_world = quat_ops.rotate_inv(q, wo)
-        new_org = shading.world_ray(point, dir_world)
+        new_org = shading.world_ray(h["point"], dir_world)
 
         alive = hit & ok
         org = vec.where3(alive, new_org, org)

@@ -1,0 +1,412 @@
+"""Progressive photon mapping, TPU-native.
+
+Reimplements the reference's `Progressive_photon_map`
+(`progressive-photon-map/src/progressive_photon_map.ml`) with wavefront
+passes over the same intersection machinery as the path tracer:
+
+- photon pass: one wavefront over the photon budget; light emission
+  (point-sphere / spot-disk, ppm.ml:59-111), per-bounce dims (2+2b, 3+2b),
+  diffuse deposits + Russian roulette by Color.max_coord (ppm.ml:218-257).
+  Deposits land in static per-bounce slots — no scatter.
+- gather structure: the reference reuses its BVH as a point-radius index
+  (ppm.ml:163-278); the TPU-native equivalent is a **hash grid** with cell
+  size = current radius, built by one device sort per iteration; neighbor
+  query = 27 cells x fixed photon cap. Hash collisions only add candidates —
+  the exact distance + normal tests filter them, so results are exact as
+  long as the per-bucket cap holds (the cap is sized from the actual max
+  bucket load each iteration).
+- eye pass: wavefront over pixels; specular chains carry beta; at the first
+  diffuse hit, cone-filter gather w = 1 - d/(k r), k=1, normalizer 1-2/(3k),
+  normal agreement dot > 1e-3 (ppm.ml:319-371).
+- radius schedule r^2(i) = init * (1/i) * prod_{k<i} (k+alpha)/k with
+  init = ((bbox extent sum)/3 / ((W+H)/2))^2 (ppm.ml:296-301, 391-400).
+- the averaged image (sum/n)^(1/2.2) is written after EVERY iteration
+  (ppm.ml:406-450) — a killed run keeps its latest estimate, and
+  checkpoint/resume is exact because all sampling is positional in
+  (iteration, offset).
+
+Sampler bookkeeping parity: photon sampler D = 2+2*max_bounces with offset
+i + iter*photon_count; eye sampler D = 2+max_bounces (one dim per bounce —
+eye paths stop at the first diffuse) with offset pixel + iter*W*H
+(ppm.ml:402-447). PPM uses gamma 1/2.2, not the path tracer's sqrt.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .camera import Camera
+from .integrator import make_intersector
+from .ops import quat as quat_ops
+from .ops import shading, vec
+from .ops.lds import Sampler
+from .scene import Scene
+
+_SPOT_ANGLE = 0.5 * 45.0 * math.pi / 180.0
+_SPOT_DISK_RADIUS = math.atan(_SPOT_ANGLE)  # ppm.ml:95-96 (as written there)
+
+
+@dataclass
+class Light:
+    kind: str  # "point" | "spot"
+    position: np.ndarray  # camera-space
+    color: np.ndarray  # power-scaled color
+    quat: np.ndarray = None  # spot: rotation of shader space (normal -> +z)
+
+    @staticmethod
+    def point(position, power, color=(1.0, 1.0, 1.0)) -> "Light":
+        return Light("point", np.asarray(position, np.float64),
+                     np.asarray(color, np.float64) * power)
+
+    @staticmethod
+    def spot(position, direction, power, color=(1.0, 1.0, 1.0)) -> "Light":
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        # Shader_space.create quaternion (shader_space.ml:11-23), host-side
+        x, y, z = d
+        if z > 1.0 - 1e-9:
+            q = np.array([1.0, 0.0, 0.0, 0.0])
+        elif z < 1e-9 - 1.0:
+            q = np.array([0.0, 0.0, 1.0, 0.0])
+        else:
+            q = np.array([1.0 + z, y, -x, 0.0])
+            q = q / np.linalg.norm(q)
+        return Light("spot", np.asarray(position, np.float64),
+                     np.asarray(color, np.float64) * power, q)
+
+    @property
+    def power(self) -> float:
+        return float(self.color.sum())
+
+
+def light_photon_counts(lights: List[Light], photon_count: int):
+    """Per-light photon budget: truncation semantics of ppm.ml:262-270."""
+    total = sum(l.power for l in lights)
+    counts, starts, off = [], [], 0
+    for l in lights:
+        c = int(photon_count * (l.power / total))
+        starts.append(off)
+        counts.append(c)
+        off += c
+    return counts, starts, off  # off = total photons actually traced
+
+
+def _emit_rays(lights, counts, starts, lane_ids, u, v, dtype):
+    """Vectorized light emission: per-lane light selection by index range."""
+    n = lane_ids.shape[0]
+    org = jnp.zeros((n, 3), dtype)
+    d = jnp.zeros((n, 3), dtype)
+    flux = jnp.zeros((n, 3), dtype)
+    for l, c, s in zip(lights, counts, starts):
+        mask = (lane_ids >= s) & (lane_ids < s + c)
+        if l.kind == "point":
+            # uniform sphere (ppm.ml:70-84)
+            theta = 2.0 * np.float32(np.pi) * u
+            phi = jnp.arccos(1.0 - 2.0 * v)
+            sp = jnp.sin(phi)
+            dl = vec.v3(sp * jnp.cos(theta), sp * jnp.sin(theta), jnp.cos(phi))
+            ol = jnp.broadcast_to(jnp.asarray(l.position, dtype), (n, 3))
+        else:
+            # spot disk-cone (ppm.ml:95-110): local (r cos, r sin, 1),
+            # through Shader_space.world_ray (origin offset 1e-3*dir)
+            r = np.float32(_SPOT_DISK_RADIUS) * jnp.sqrt(u)
+            theta = v * 2.0 * np.float32(np.pi)
+            local = vec.v3(r * jnp.cos(theta), r * jnp.sin(theta),
+                           jnp.ones_like(u))
+            q = jnp.broadcast_to(jnp.asarray(l.quat, dtype), (n, 4))
+            dl = quat_ops.rotate_inv(q, local)
+            ol = jnp.asarray(l.position, dtype) + np.float32(1e-3) * dl
+        fl = jnp.broadcast_to(jnp.asarray(l.color, dtype), (n, 3))
+        org = vec.where3(mask, ol, org)
+        d = vec.where3(mask, dl, d)
+        flux = vec.where3(mask, fl, flux)
+    return org, d, flux
+
+
+def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
+                     backend: str, dtype=jnp.float32):
+    """Build trace_photons(offset_base, radius is implicit) ->
+    (pos, normal, flux, valid) deposit arrays of shape (lanes*max_bounces, .)."""
+    sampler = Sampler(2 + 2 * max_bounces)
+    counts, starts, total = light_photon_counts(lights, photon_count)
+    lanes = -(-total // 1024) * 1024
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    hit_setup = make_intersector(scene, backend)
+
+    @jax.jit
+    def trace_photons(offset_base):
+        offs = lane_ids.astype(jnp.uint32) + offset_base.astype(jnp.uint32)
+        u0 = sampler.get(offs, 0)
+        v0 = sampler.get(offs, 1)
+        org, d, flux = _emit_rays(lights, counts, starts, lane_ids, u0, v0,
+                                  dtype)
+        alive = lane_ids < total
+        dep_pos, dep_nrm, dep_flux, dep_ok = [], [], [], []
+        for b in range(max_bounces):
+            u = sampler.get(offs, 2 + 2 * b)
+            v = sampler.get(offs, 3 + 2 * b)
+            h = hit_setup(org, d, alive)
+            hit = h["hit"] & alive
+            q = shading.shader_quat(h["normal"])
+            omega_i = quat_ops.rotate(q, -d)
+            wi_z = omega_i[..., 2]
+            albedo = h["albedo"]
+            is_diff = h["mat_kind"] == 0
+            is_met = h["mat_kind"] == 1
+
+            # diffuse deposit (flux *= albedo first, ppm.ml:240-242)
+            f_dep = flux * albedo
+            dep = hit & is_diff
+            dep_pos.append(h["point"])
+            dep_nrm.append(h["normal"])
+            dep_flux.append(f_dep)
+            dep_ok.append(dep)
+
+            # continuation
+            # metal (material.ml:28-44)
+            wo_met = shading.reflect_local(omega_i)
+            met_ok = wo_met[..., 2] > 0.0
+            tint = albedo + (1.0 - albedo) * ((1.0 - wi_z) ** 5)[..., None]
+            # dielectric
+            ci = jnp.clip(wi_z, 0.0, 1.0)
+            si = jnp.sqrt(1.0 - ci * ci)
+            ratio = jnp.where(h["hit_front"], h["ior_inv"], h["ior"])
+            refl = (ratio * si > 1.0) | (shading.schlick(ci, ratio) > u)
+            wo_die = vec.where3(refl, wo_met,
+                                shading.refract_local(omega_i, ratio))
+            # diffuse Russian roulette (ppm.ml:243-250)
+            cmax = jnp.max(albedo, axis=-1)
+            rr = u <= cmax
+            cm_inv = 1.0 / cmax
+            wo_dif = shading.cosine_hemisphere(u * cm_inv, v)
+            f_dif = f_dep * cm_inv[..., None]
+
+            wo = vec.where3(is_diff, wo_dif, vec.where3(is_met, wo_met, wo_die))
+            f_new = vec.where3(is_diff, f_dif,
+                               vec.where3(is_met, flux * tint, flux))
+            ok = jnp.where(is_diff, rr, jnp.where(is_met, met_ok, True))
+
+            dir_world = quat_ops.rotate_inv(q, wo)
+            new_org = shading.world_ray(h["point"], dir_world)
+            alive = hit & ok
+            org = vec.where3(alive, new_org, org)
+            d = vec.where3(alive, dir_world, d)
+            flux = jnp.where(alive[..., None], f_new, flux)
+        return (jnp.concatenate(dep_pos), jnp.concatenate(dep_nrm),
+                jnp.concatenate(dep_flux), jnp.concatenate(dep_ok))
+
+    return trace_photons, total
+
+
+# --- hash grid ---
+
+_HX = np.int32(73856093)
+_HY = np.int32(19349663)
+_HZ = np.int32(83492791)
+
+
+def _cell_hash(ix, iy, iz, m):
+    h = (ix * _HX) ^ (iy * _HY) ^ (iz * _HZ)
+    return (h & jnp.int32(0x7FFFFFFF)) % jnp.int32(m)
+
+
+def build_photon_grid(pos, valid, radius, m=1 << 17):
+    """Sort photons by hash bucket; returns (order, start, count, keys)."""
+    inv_r = 1.0 / radius
+    ix = jnp.floor(pos[:, 0] * inv_r).astype(jnp.int32)
+    iy = jnp.floor(pos[:, 1] * inv_r).astype(jnp.int32)
+    iz = jnp.floor(pos[:, 2] * inv_r).astype(jnp.int32)
+    key = jnp.where(valid, _cell_hash(ix, iy, iz, m), jnp.int32(m))
+    n = pos.shape[0]
+    keys_sorted, order = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    start = jnp.searchsorted(keys_sorted, jnp.arange(m, dtype=jnp.int32))
+    end = jnp.searchsorted(keys_sorted, jnp.arange(1, m + 1, dtype=jnp.int32))
+    return order, start, (end - start).astype(jnp.int32)
+
+
+def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
+                  max_bounces: int, photon_count: int, dep_lanes: int,
+                  backend: str, grid_m: int = 1 << 17, dtype=jnp.float32):
+    """Build eye_pass(offset_base, radius, grid+deposits, k_cap) -> (H,W,3)
+    contribution of one PPM iteration (already scaled by 1/photon_count)."""
+    sampler = Sampler(2 + max_bounces)
+    n_pix = width * height
+    lanes = -(-n_pix // 1024) * 1024
+    lane_ids = np.arange(lanes)
+    xs = (lane_ids % width).astype(np.float32)
+    ys = (lane_ids // width).astype(np.float32)
+    hit_setup = make_intersector(scene, backend)
+    inv_pc = np.float32(1.0 / photon_count)
+
+    def gather(point, normal, radius, grid, k_cap):
+        order, start, count, pos, nrm, flux, dep_valid = grid
+        inv_r = 1.0 / radius
+        r2 = radius * radius
+        cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
+        cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
+        cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
+        acc = jnp.zeros_like(point)
+        for ddx in (-1, 0, 1):
+            for ddy in (-1, 0, 1):
+                for ddz in (-1, 0, 1):
+                    hkey = _cell_hash(cx + ddx, cy + ddy, cz + ddz, grid_m)
+                    s = start[hkey]
+                    c = count[hkey]
+
+                    def body(k, acc):
+                        j = jnp.minimum(s + k, dep_lanes - 1)
+                        pj = order[j]
+                        ok = (k < c) & dep_valid[pj]
+                        pp = pos[pj]
+                        dist2 = vec.quadrance(point - pp)
+                        ok &= dist2 < r2
+                        ok &= vec.dot(nrm[pj], normal) > 1e-3
+                        w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
+                        return acc + jnp.where(ok[..., None],
+                                               w[..., None] * flux[pj], 0.0)
+
+                    acc = jax.lax.fori_loop(0, k_cap, body, acc)
+        return acc
+
+    def eye_pass(offset_base, radius, grid, k_cap):
+        offs = (jnp.asarray(lane_ids, jnp.uint32)
+                + offset_base.astype(jnp.uint32))
+        dx = sampler.get(offs, 0)
+        dy = sampler.get(offs, 1)
+        # NOTE: cy is NOT flipped here; the reference flips y at write time
+        # (ppm.ml:311-315,383-388)
+        cx = (jnp.asarray(xs) + dx) * np.float32(1.0 / width)
+        cy = (jnp.asarray(ys) + dy) * np.float32(1.0 / height)
+        d = camera.ray_dirs(cx, cy, dtype)
+        org = jnp.zeros_like(d)
+        beta = jnp.ones_like(d)
+        alive = jnp.asarray(lane_ids < n_pix)
+        result = jnp.zeros_like(d)
+        for b in range(max_bounces):
+            u = sampler.get(offs, 2 + b)  # one dim per eye bounce
+            h = hit_setup(org, d, alive)
+            hit = h["hit"] & alive
+            q = shading.shader_quat(h["normal"])
+            omega_i = quat_ops.rotate(q, -d)
+            wi_z = omega_i[..., 2]
+            albedo = h["albedo"]
+            is_diff = h["mat_kind"] == 0
+            is_met = h["mat_kind"] == 1
+
+            # diffuse: gather and terminate (ppm.ml:330-371)
+            beta_d = beta * albedo
+            flux = gather(h["point"], h["normal"], radius, grid, k_cap)
+            area = np.float32(np.pi) * radius * radius
+            normalizer = np.float32(1.0 - 2.0 / 3.0)
+            contrib = beta_d * flux / (area * normalizer)
+            take = hit & is_diff
+            result = result + vec.where3(take, contrib, jnp.zeros_like(result))
+
+            # specular continuation
+            wo_met = shading.reflect_local(omega_i)
+            met_ok = wo_met[..., 2] > 0.0
+            tint = albedo + (1.0 - albedo) * ((1.0 - wi_z) ** 5)[..., None]
+            ci = jnp.clip(wi_z, 0.0, 1.0)
+            si = jnp.sqrt(1.0 - ci * ci)
+            ratio = jnp.where(h["hit_front"], h["ior_inv"], h["ior"])
+            refl = (ratio * si > 1.0) | (shading.schlick(ci, ratio) > u)
+            wo_die = vec.where3(refl, wo_met,
+                                shading.refract_local(omega_i, ratio))
+            wo = vec.where3(is_met, wo_met, wo_die)
+            beta_new = vec.where3(is_met, beta * tint, beta)
+            ok = jnp.where(is_met, met_ok, ~is_diff)
+
+            dir_world = quat_ops.rotate_inv(q, wo)
+            new_org = shading.world_ray(h["point"], dir_world)
+            alive = hit & ok
+            org = vec.where3(alive, new_org, org)
+            d = vec.where3(alive, dir_world, d)
+            beta = jnp.where(alive[..., None], beta_new, beta)
+        img = (result * inv_pc)[:n_pix].reshape(height, width, 3)
+        return img[::-1]  # reference writes row (height-1-y)
+
+    return eye_pass
+
+
+@dataclass
+class PPMRenderer:
+    """Iteration driver (Make(Scene).go, ppm.ml:420-450)."""
+
+    scene: Scene
+    camera: Camera
+    lights: List[Light]
+    width: int
+    height: int
+    iterations: int = 10
+    photon_count: int = 75000
+    alpha: float = 2.0 / 3.0
+    max_bounces: int = 4
+    backend: str = None
+    verbose: bool = True
+
+    def __post_init__(self):
+        if self.backend is None:
+            self.backend = ("pallas" if jax.default_backend() == "tpu"
+                            else "xla")
+        lo, hi = self.scene.bbox()
+        a = float((hi - lo).sum()) / 3.0
+        b = (self.width + self.height) / 2.0
+        self.init_radius2 = (a / b) ** 2
+
+    def radius(self, i: int) -> float:
+        # shrink schedule (ppm.ml:391-400)
+        assert i >= 1
+        product = 1.0
+        for k in range(1, i):
+            product *= (k + self.alpha) / k
+        return math.sqrt(product * self.init_radius2 / i)
+
+    def render(self, output: str = None, checkpoint_cb=None):
+        import functools
+
+        if self.verbose:
+            print(f"#max-bounces = {self.max_bounces}")
+            print(f"#photons/iter = {self.photon_count}")
+            print(f"#iterations = {self.iterations}")
+            print("-----", flush=True)
+        trace_photons, total = make_photon_pass(
+            self.scene, self.lights, self.photon_count, self.max_bounces,
+            self.backend)
+        dep_lanes = (-(-total // 1024) * 1024) * self.max_bounces
+        eye_pass = make_eye_pass(self.scene, self.camera, self.width,
+                                 self.height, self.max_bounces,
+                                 self.photon_count, dep_lanes, self.backend)
+        eye_jit = {}
+        img_sum = np.zeros((self.height, self.width, 3), np.float64)
+        for i in range(self.iterations):
+            r = self.radius(i + 1)
+            if self.verbose:
+                print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
+            pos, nrm, flux, ok = trace_photons(
+                jnp.uint32(i * self.photon_count))
+            n_photons = int(ok.sum())
+            if self.verbose:
+                print(f"  photon map length = {n_photons}", flush=True)
+            order, start, count = build_photon_grid(pos, ok, jnp.float32(r))
+            k_cap = int(count.max())
+            k_cap = 1 << max(3, (k_cap - 1).bit_length())  # pow2, >= 8
+            if k_cap not in eye_jit:
+                eye_jit[k_cap] = jax.jit(
+                    functools.partial(eye_pass, k_cap=k_cap))
+            grid = (order, start, count, pos, nrm, flux, ok)
+            img = eye_jit[k_cap](
+                jnp.uint32(i * self.width * self.height), jnp.float32(r), grid)
+            img_sum += np.asarray(img, np.float64)
+            if output is not None:
+                from .io.png import write_png
+                avg = (img_sum / (i + 1)) ** (1.0 / 2.2)  # PPM gamma 1/2.2
+                write_png(output, avg)
+            if checkpoint_cb is not None:
+                checkpoint_cb(i, img_sum)
+        return img_sum

@@ -27,8 +27,13 @@ TEX_SOLID = 0
 TEX_CHECKER = 1
 
 
-class SphereScene(NamedTuple):
-    """SoA sphere scene, already transformed to camera space."""
+class Scene(NamedTuple):
+    """SoA scene (spheres + optional triangles), in camera space.
+
+    Mixed-shape scenes mirror the reference cornell-box Shape sum type
+    (cornell-box/bin/main.ml:93-155) as two SoA pools sharing one material
+    column layout.
+    """
 
     center: jnp.ndarray  # (S, 3) f32
     radius: jnp.ndarray  # (S,) f32
@@ -42,10 +47,48 @@ class SphereScene(NamedTuple):
     ior_inv: jnp.ndarray  # (S,) f32
     valid: jnp.ndarray  # (S,) bool — False for padding entries
     shade_pack: jnp.ndarray  # (S, 16) f32 — all shading params, one gather/hit
+    # triangles: a + u*e1 + v*e2 parameterization (triangle.ml:74-98)
+    tri_pack: jnp.ndarray = None  # (T, 27): a(3) e1(3) e2(3) tex(6) mat(12)
+    tri_valid: jnp.ndarray = None  # (T,) bool
 
     @property
     def count(self) -> int:
         return self.center.shape[0]
+
+    @property
+    def tri_count(self) -> int:
+        return 0 if self.tri_pack is None else self.tri_pack.shape[0]
+
+    # bounding box over valid primitives (host use; Bbox analog bbox.ml:14-24)
+    def bbox(self):
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        c = np.asarray(self.center)[np.asarray(self.valid)]
+        r = np.asarray(self.radius)[np.asarray(self.valid)][:, None]
+        if len(c):
+            lo = np.minimum(lo, (c - r).min(0))
+            hi = np.maximum(hi, (c + r).max(0))
+        if self.tri_count:
+            tp = np.asarray(self.tri_pack)[np.asarray(self.tri_valid)]
+            if len(tp):
+                a = tp[:, 0:3]
+                b = a + tp[:, 3:6]
+                cc = a + tp[:, 6:9]
+                v = np.concatenate([a, b, cc])
+                lo = np.minimum(lo, v.min(0))
+                hi = np.maximum(hi, v.max(0))
+        return lo, hi
+
+
+SphereScene = Scene  # historical alias
+
+
+# tri_pack column layout
+TRI_A = slice(0, 3)
+TRI_E1 = slice(3, 6)
+TRI_E2 = slice(6, 9)
+TRI_TEX = slice(9, 15)  # ua va ub vb uc vc
+TRI_MAT = slice(15, 27)  # same 12 columns as shade_pack[4:16]
 
 
 # shade_pack column layout
@@ -93,6 +136,34 @@ class SceneBuilder:
             checker_wh=(float(checker_wh[0]), float(checker_wh[1])),
             ior=float(ior)))
 
+    def add_triangle(self, a, b, c, mat_kind, tex_a=(0, 0), tex_b=(0, 0),
+                     tex_c=(0, 0), color_a=(0, 0, 0), color_b=(0, 0, 0),
+                     tex_kind=TEX_SOLID, checker_wh=(1, 1), ior=1.5):
+        if not hasattr(self, "tris"):
+            self.tris = []
+        self.tris.append(dict(
+            verts=np.asarray([a, b, c], np.float64),
+            tex=np.asarray([tex_a, tex_b, tex_c], np.float64),
+            mat_kind=int(mat_kind), tex_kind=int(tex_kind),
+            color_a=np.asarray(color_a, np.float64),
+            color_b=np.asarray(color_b, np.float64),
+            checker_wh=(float(checker_wh[0]), float(checker_wh[1])),
+            ior=float(ior)))
+
+    def add_quad(self, a, u, v, **mat):
+        """Axis quad as a 2-triangle fan, reference winding
+        (cornell-box/bin/main.ml:30-47): corners a, b=a+v, c=b+u, d=a+u with
+        tex coords t00, t10, t11, t01; fan from a: (a,b,c), (a,c,d)."""
+        a = np.asarray(a, np.float64)
+        u = np.asarray(u, np.float64)
+        v = np.asarray(v, np.float64)
+        b, c, d = a + v, a + v + u, a + u
+        t00, t10, t11, t01 = (0, 0), (1, 0), (1, 1), (0, 1)
+        # triangle_fan emits (o,a,b) in reverse discovery order; intersection
+        # is winding-agnostic here so list order only affects tie-breaks
+        self.add_triangle(a, b, c, tex_a=t00, tex_b=t10, tex_c=t11, **mat)
+        self.add_triangle(a, c, d, tex_a=t00, tex_b=t11, tex_c=t01, **mat)
+
     def build(self, camera=None, pad_to: int = 128, dtype=jnp.float32) -> SphereScene:
         n = len(self.rows)
         s = max(pad_to, -(-n // pad_to) * pad_to)
@@ -132,6 +203,34 @@ class SceneBuilder:
         pack[:, 13] = checker_h
         pack[:, 14] = ior
         pack[:, 15] = 1.0 / ior
+
+        tris = getattr(self, "tris", [])
+        tri_pack = None
+        tri_valid = None
+        if tris:
+            tn = len(tris)
+            tcap = -(-tn // 128) * 128
+            tp = np.zeros((tcap, 27), np.float64)
+            tv = np.zeros(tcap, bool)
+            for i, tr in enumerate(tris):
+                verts = tr["verts"]
+                if camera is not None:
+                    verts = camera.transform_points(verts)
+                tp[i, 0:3] = verts[0]
+                tp[i, 3:6] = verts[1] - verts[0]
+                tp[i, 6:9] = verts[2] - verts[0]
+                tp[i, 9:15] = tr["tex"].reshape(-1)
+                tp[i, 15] = tr["mat_kind"]
+                tp[i, 16] = tr["tex_kind"]
+                tp[i, 17:20] = tr["color_a"]
+                tp[i, 20:23] = tr["color_b"]
+                tp[i, 23] = tr["checker_wh"][0] - 1.0
+                tp[i, 24] = tr["checker_wh"][1] - 1.0
+                tp[i, 25] = tr["ior"]
+                tp[i, 26] = 1.0 / tr["ior"]
+                tv[i] = True
+            tri_pack = jnp.asarray(tp, dtype)
+            tri_valid = jnp.asarray(tv)
         return SphereScene(
             center=jnp.asarray(center, dtype),
             radius=jnp.asarray(radius, dtype),
@@ -145,6 +244,8 @@ class SceneBuilder:
             ior_inv=jnp.asarray(1.0 / ior, dtype),
             valid=jnp.asarray(valid),
             shade_pack=jnp.asarray(pack, dtype),
+            tri_pack=tri_pack,
+            tri_valid=tri_valid,
         )
 
 

@@ -1,0 +1,50 @@
+"""Progressive photon mapper tests (cornell box at toy size)."""
+
+import numpy as np
+
+from pathtracer_tpu.models import cornell
+from pathtracer_tpu.ppm import Light, PPMRenderer, light_photon_counts
+
+
+def test_light_photon_split_truncates():
+    # truncation semantics of ppm.ml:262-270
+    lights = [Light.spot((0, 0, 0), (0, 0, 1), power=10000.0),
+              Light.spot((0, 0, 0), (0, 0, 1), power=3000.0)]
+    counts, starts, total = light_photon_counts(lights, 75000)
+    assert counts == [57692, 17307]
+    assert starts == [0, 57692]
+    assert total == 74999  # one photon is lost to truncation, like the ref
+
+
+def test_radius_schedule():
+    scene, cam, lights = cornell.build(1.0)
+    r = PPMRenderer(scene, cam, lights, 100, 100, alpha=2.0 / 3.0)
+    r1 = r.radius(1)
+    r2 = r.radius(2)
+    r3 = r.radius(3)
+    assert r1 > r2 > r3
+    # radius2(2) = (1+a)/1 * init/2
+    np.testing.assert_allclose(r2 ** 2, (1 + 2 / 3) * r1 ** 2 / 2, rtol=1e-12)
+
+
+def test_cornell_ppm_toy_render():
+    scene, cam, lights = cornell.build(1.0)
+    rend = PPMRenderer(scene, cam, lights, 64, 64, iterations=2,
+                       photon_count=2000, max_bounces=4, verbose=False)
+    img_sum = rend.render(output=None)
+    img = img_sum / 2
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01  # light reached the film
+    # red wall on screen-right, blue on screen-left (camera x' = -world x)
+    left = img[28:36, 4:12].mean(axis=(0, 1))
+    right = img[28:36, 52:60].mean(axis=(0, 1))
+    assert left[2] > left[0], left  # blue dominant on the left
+    assert right[0] > right[2], right  # red dominant on the right
+
+
+def test_ppm_deterministic():
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=1, photon_count=1000, max_bounces=3, verbose=False)
+    a = PPMRenderer(scene, cam, lights, 32, 32, **kw).render()
+    b = PPMRenderer(scene, cam, lights, 32, 32, **kw).render()
+    np.testing.assert_array_equal(a, b)
