@@ -127,6 +127,89 @@ def run_cornell(argv=None) -> None:
     print(f"render time = {(time.monotonic() - t0) * 1e3:.3f} ms")
 
 
+def run_ganesha(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        "ganesha", description="Render a PLY mesh (ganesha) by progressive "
+        "photon mapping.")
+    add_ppm_args(parser)
+    parser.add_argument("-ganesha-ply", "--ganesha-ply", default="ganesha.ply",
+                        metavar="FILE", help="path to ganesha.ply")
+    parser.add_argument("-stop-after-bvh", "--stop-after-bvh",
+                        action="store_true", help="stop after BVH build")
+    args = parser.parse_args(argv)
+
+    from .models import ganesha
+    from .ppm import PPMRenderer
+
+    print(f"dim = {args.width} x {args.height};")
+    t_total = time.monotonic()
+    cam = ganesha.make_camera(args.width / args.height)
+    t0 = time.monotonic()
+    mesh_build = ganesha.build(args.ganesha_ply, args.width / args.height)
+    scene, cam, lights, mesh, bbox = mesh_build
+    build_ms = (time.monotonic() - t0) * 1e3
+    print(f"#triangles = {mesh.n_tris}")
+    print(f"tree depth = {mesh.depth}")
+    print(f"build time = {build_ms:.3f} ms")
+    hist = mesh.leaf_histogram()
+    print("leaf lengths =")
+    print(" ".join(f"((size {s})(count {c}))" for s, c in hist.items()))
+    if args.stop_after_bvh:
+        print("Stop after bvh build")
+        return
+    lo, hi = bbox
+    print(f"ganesha bbox = ((min({lo[0]:.6g} {lo[1]:.6g} {lo[2]:.6g}))"
+          f"(max({hi[0]:.6g} {hi[1]:.6g} {hi[2]:.6g})))")
+    renderer = PPMRenderer(scene, cam, lights, args.width, args.height,
+                           iterations=args.iterations,
+                           photon_count=args.photon_count, alpha=args.alpha,
+                           max_bounces=args.max_bounces,
+                           verbose=not args.no_progress, mesh=mesh,
+                           bbox_override=bbox)
+    renderer.render(output=args.output)
+    print(f"elapsed ms: {(time.monotonic() - t_total) * 1e3:.3f}")
+
+
+def run_ply_describe(argv=None) -> None:
+    """PLY inspection tool (ply_format/bin/ply_describe.ml:10-95)."""
+    parser = argparse.ArgumentParser("ply_describe",
+                                     description="Describe a PLY file.")
+    parser.add_argument("file", help="PLY file path")
+    args = parser.parse_args(argv)
+
+    from .io import ply
+
+    t0 = time.monotonic()
+    p = ply.load(args.file)
+    parse_ms = (time.monotonic() - t0) * 1e3
+    print(f"format = {p.fmt}")
+    for el in p.elements:
+        print(f"element {el.name} (count {el.count})")
+        for pr in el.properties:
+            if pr.is_list:
+                print(f"  property list {pr.length_dtype} {pr.elt_dtype} "
+                      f"{pr.name}")
+            else:
+                print(f"  property {pr.dtype} {pr.name}")
+    for el, cols in p.data.items():
+        for name, col in cols.items():
+            if isinstance(col, list):
+                lens = {}
+                for row in col:
+                    lens[len(row)] = lens.get(len(row), 0) + 1
+                print(f"{el}.{name}: rows, face-size histogram = {lens}")
+            elif col.ndim == 2:
+                lens = {col.shape[1]: col.shape[0]}
+                print(f"{el}.{name}: rows, face-size histogram = {lens}")
+            elif np.issubdtype(col.dtype, np.floating):
+                finite = np.isfinite(col).all()
+                print(f"{el}.{name}: float min={col.min():.6g} "
+                      f"max={col.max():.6g} all-finite={finite}")
+            else:
+                print(f"{el}.{name}: int min={col.min()} max={col.max()}")
+    print(f"parse time = {parse_ms:.3f} ms")
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     commands = {
@@ -134,6 +217,9 @@ def main(argv=None) -> None:
         "shirley_spheres": run_shirley,
         "cornell-box": run_cornell,
         "cornell_box": run_cornell,
+        "ganesha": run_ganesha,
+        "ply-describe": run_ply_describe,
+        "ply_describe": run_ply_describe,
     }
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m pathtracer_tpu <command> [args]\n"

@@ -38,7 +38,7 @@ __all__ = ["trace", "make_pass_fn", "make_render_fn", "render_with_progress"]
 
 
 def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
-                     select_mode: str = "gather"):
+                     select_mode: str = "gather", mesh=None):
     """Build hit_setup(org, d, alive) -> dict of per-lane hit attributes.
 
     Unifies sphere and triangle pools (the reference's Shape sum type,
@@ -63,6 +63,7 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         tp = scene.tri_pack
         tri_comps = tri_ops.pack_for_intersect(
             tp[:, TRI_A], tp[:, TRI_E1], tp[:, TRI_E2], scene.tri_valid)
+    has_mesh = mesh is not None
 
     def hit_setup(org, d, alive):
         if custom_intersect:
@@ -95,6 +96,13 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         else:
             use_tri = jnp.zeros(org.shape[:1], bool)
             hit = hit_s
+        if has_mesh:
+            t_cur = jnp.where(hit, jnp.where(use_tri, t_t, t_s) if has_tris
+                              else t_s, spheres.BIG)
+            t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(org, d)
+            use_mesh = hit_m & (t_m < t_cur)
+            use_tri = use_tri & ~use_mesh
+            hit = hit | hit_m
 
         # sphere attributes
         point_s = org + t_s[..., None] * d
@@ -114,6 +122,15 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
             t = jnp.where(use_tri, t_t, t_s)
         else:
             point, g_normal, t = point_s, n_s, t_s
+        if has_mesh:
+            ma = mesh.tri_a[idx_m]
+            me1 = mesh.tri_e1[idx_m]
+            me2 = mesh.tri_e2[idx_m]
+            point_m = ma + u_m[:, None] * me1 + v_m[:, None] * me2
+            n_m = vec.normalize(vec.cross(me1, me2))
+            point = vec.where3(use_mesh, point_m, point)
+            g_normal = vec.where3(use_mesh, n_m, g_normal)
+            t = jnp.where(use_mesh, t_m, t)
 
         hit_front = vec.dot(d, g_normal) < 0.0
         normal = vec.where3(hit_front, g_normal, -g_normal)
@@ -135,6 +152,13 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
             v_tex = jnp.where(use_tri, tri_v, v_tex)
             mat_rows = jnp.where(use_tri[:, None], tri_rows[:, TRI_MAT],
                                  mat_rows)
+        if has_mesh:
+            # mesh tex coords are the fixed (t00, t01, t11) corners
+            # (ganesha/bin/main.ml:105-106): tu = v, tv = u+v
+            u_tex = jnp.where(use_mesh, v_m, u_tex)
+            v_tex = jnp.where(use_mesh, u_m + v_m, v_tex)
+            mat_rows = jnp.where(use_mesh[:, None], mesh.mat_row[None, :],
+                                 mat_rows)
 
         albedo = eval_texture(mat_rows[:, 1], mat_rows[:, 2:5],
                               mat_rows[:, 5:8], mat_rows[:, 8], mat_rows[:, 9],
@@ -149,7 +173,7 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
 
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
-          backend: str | None = None, alive0=None):
+          backend: str | None = None, alive0=None, mesh=None):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
     segments traced (scalar int32)).
 
@@ -184,7 +208,8 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
                     if n_pad else alive0)
         alive = alive & alive0_p
     segments = jnp.zeros((), jnp.int32)
-    hit_setup = make_intersector(scene, backend, intersect_fn, select_mode)
+    hit_setup = make_intersector(scene, backend, intersect_fn, select_mode,
+                                 mesh=mesh)
 
     for bounce in range(max_bounces):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
@@ -219,7 +244,8 @@ TILE = 32  # pixels per side of an image tile in tiled ray order
 def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                  spp: int, max_bounces: int, dtype=jnp.float32, intersect_fn=None,
                  dynamic_rows: bool = False, select_mode: str = "gather",
-                 backend: str | None = None, tiled: bool | None = None):
+                 backend: str | None = None, tiled: bool | None = None,
+                 mesh=None):
     """Build pass_fn(scene, pass_idx[, row_ids]) -> (radiance sums, segments).
 
     With dynamic_rows=True the pass_fn takes a traced (R,) int32 array of
@@ -278,7 +304,7 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                                       offset.shape).reshape(-1)
             rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                               max_bounces, background, intersect_fn,
-                              select_mode, backend, alive0=alive0)
+                              select_mode, backend, alive0=alive0, mesh=mesh)
             rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
             if lead:
                 rad = jnp.sum(rad, axis=0)
@@ -307,7 +333,7 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
         org = jnp.zeros_like(dirs)
         rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                           max_bounces, background, intersect_fn, select_mode,
-                          backend)
+                          backend, mesh=mesh)
         rad = rad.reshape(lead + (rows, width, 3))
         if lead:
             rad = jnp.sum(rad, axis=0)
@@ -332,11 +358,12 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
                    spp: int, max_bounces: int, dtype=jnp.float32,
                    filter_order: int = 5, filter_radius: int = 1,
                    intersect_fn=None, passes_per_batch: int | None = None,
-                   select_mode: str = "gather", backend: str | None = None):
+                   select_mode: str = "gather", backend: str | None = None,
+                   mesh=None):
     """Build a jitted render(scene) -> (image (H,W,3), total segments)."""
     pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
                            dtype, intersect_fn, select_mode=select_mode,
-                           backend=backend)
+                           backend=backend, mesh=mesh)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
     pb = passes_per_batch or default_passes_per_batch(width, height, spp)
 

@@ -1,0 +1,266 @@
+"""Bounding volume hierarchy: host-side binned-SAH build, flattened
+skip-link layout, and a divergence-tolerant stackless traversal in XLA.
+
+Build mirrors the reference's `Shape_tree` semantics (shape_tree.ml:82-195):
+binned SAH over all 3 axes (default 32 bins), cost = costT + (Al*Nl +
+Ar*Nr) * costI / Atotal with costI=1.0, costT=0.25; a node becomes a leaf
+when count <= 4, or when the best split is no cheaper than leaving it whole
+and count <= length_cutoff. (The exact tree shape doesn't affect images —
+nearest-hit is unique — so bit-parity with the reference's partitioning is
+not required; the cost model and cutoffs are the same.)
+
+Flattening is depth-first with skip links, so traversal needs no stack:
+  enter(i) = i+1 (when the ray hits node i's bbox and i is inner)
+  skip(i)  = DFS index just past i's subtree (miss, or after a leaf)
+Every lane walks its own node pointer in lockstep; leaf triangles are
+tested with a masked fixed-width loop. Slab test per bbox.ml:40-56 with
+shrinking t_max (shape_tree.ml:212-216).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BIG = np.float32(3.0e38)
+
+
+def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
+              cost_i=1.0, cost_t=0.25):
+    """Build from per-primitive bboxes. Returns (nodes_lo (M,3), nodes_hi
+    (M,3), meta (M,3) int32 [first,count,skip], order (T,) primitive
+    permutation, depth)."""
+    n = len(prim_lo)
+    cent = 0.5 * (prim_lo + prim_hi)
+    order = np.arange(n)
+    nodes = []  # (lo, hi, first, count, skip_placeholder)
+
+    def node_bbox(idx):
+        return prim_lo[idx].min(0), prim_hi[idx].max(0)
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    max_depth = [0]
+
+    def rec(idx, depth):
+        max_depth[0] = max(max_depth[0], depth)
+        lo, hi = node_bbox(idx)
+        me = len(nodes)
+        nodes.append([lo, hi, 0, 0, 0])
+        count = len(idx)
+        if count <= 4:
+            nodes[me][2:4] = [None, idx]  # leaf; resolved later
+            return me
+        # binned SAH over 3 axes (shape_tree.ml:82-146)
+        c = cent[idx]
+        best = None
+        total_area = area(lo, hi)
+        for axis in range(3):
+            cmin, cmax = c[:, axis].min(), c[:, axis].max()
+            if cmax - cmin < 1e-12:
+                continue
+            bins = np.clip(((c[:, axis] - cmin) / (cmax - cmin)
+                            * num_bins).astype(np.int32), 0, num_bins - 1)
+            counts = np.bincount(bins, minlength=num_bins)
+            # prefix/suffix bbox areas
+            bl = np.full((num_bins, 3), np.inf)
+            bh = np.full((num_bins, 3), -np.inf)
+            for b in range(num_bins):
+                sel = bins == b
+                if sel.any():
+                    bl[b] = prim_lo[idx][sel].min(0)
+                    bh[b] = prim_hi[idx][sel].max(0)
+            pre_lo = np.minimum.accumulate(bl, 0)
+            pre_hi = np.maximum.accumulate(bh, 0)
+            suf_lo = np.minimum.accumulate(bl[::-1], 0)[::-1]
+            suf_hi = np.maximum.accumulate(bh[::-1], 0)[::-1]
+            nl = np.cumsum(counts)
+            for b in range(num_bins - 1):
+                if nl[b] == 0 or nl[b] == count:
+                    continue
+                al = area(pre_lo[b], pre_hi[b])
+                ar = area(suf_lo[b + 1], suf_hi[b + 1])
+                cost = cost_t + (al * nl[b] + ar * (count - nl[b])) * cost_i \
+                    / max(total_area, 1e-30)
+                if best is None or cost < best[0]:
+                    best = (cost, axis, b, cmin, cmax)
+        leaf_cost = count * cost_i
+        sah_stop = best is not None and best[0] >= leaf_cost
+        if count <= length_cutoff and (best is None or sah_stop):
+            nodes[me][2:4] = [None, idx]
+            return me
+        if best is None:
+            # degenerate centroids and too big for a leaf: median split
+            half = count // 2
+            left_idx, right_idx = idx[:half], idx[half:]
+        else:
+            _, axis, b, cmin, cmax = best
+            bins = np.clip(((cent[idx][:, axis] - cmin) / (cmax - cmin)
+                            * num_bins).astype(np.int32), 0, num_bins - 1)
+            sel = bins <= b
+            left_idx, right_idx = idx[sel], idx[~sel]
+        rec(left_idx, depth + 1)
+        rec(right_idx, depth + 1)
+        nodes[me][4] = len(nodes)  # skip = index past subtree
+        return me
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        rec(order, 1)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    # resolve leaves: assign contiguous primitive ranges in DFS leaf order
+    perm = []
+    m = len(nodes)
+    lo_arr = np.zeros((m, 3), np.float32)
+    hi_arr = np.zeros((m, 3), np.float32)
+    meta = np.zeros((m, 3), np.int32)
+    for i, (lo, hi, first, cnt, skip) in enumerate(nodes):
+        lo_arr[i] = lo
+        hi_arr[i] = hi
+        if first is None:  # leaf: cnt holds the index array
+            meta[i, 0] = len(perm)
+            meta[i, 1] = len(cnt)
+            meta[i, 2] = i + 1  # DFS next == skip for a leaf
+            perm.extend(cnt.tolist())
+        else:
+            meta[i, 0] = 0
+            meta[i, 1] = 0
+            meta[i, 2] = skip
+    return lo_arr, hi_arr, meta, np.asarray(perm), max_depth[0]
+
+
+def leaf_histogram(meta):
+    """leaf size -> count (the reference's leaf_length_histogram,
+    shape_tree.ml:238-247)."""
+    sizes = meta[meta[:, 1] > 0, 1]
+    hist = {}
+    for s in sizes:
+        hist[int(s)] = hist.get(int(s), 0) + 1
+    return dict(sorted(hist.items()))
+
+
+class MeshBVH:
+    """Host-side container: a triangle mesh with its flattened BVH and a
+    uniform material row (the ganesha mesh pattern, ganesha/bin/main.ml:88-119).
+
+    Vertices must already be in camera space. mat_row is the 12-column
+    material layout shared with Scene (scene.TRI_MAT)."""
+
+    def __init__(self, vertices, faces, mat_row, length_cutoff=8,
+                 num_bins=32):
+        vertices = np.asarray(vertices, np.float32)
+        faces = np.asarray(faces, np.int64)
+        assert faces.shape[1] == 3, "expected triangular faces"
+        a = vertices[faces[:, 0]]
+        b = vertices[faces[:, 1]]
+        c = vertices[faces[:, 2]]
+        lo = np.minimum(np.minimum(a, b), c)
+        hi = np.maximum(np.maximum(a, b), c)
+        nodes_lo, nodes_hi, meta, order, depth = build_bvh(
+            lo, hi, length_cutoff=length_cutoff, num_bins=num_bins)
+        self.depth = depth
+        self.n_tris = len(faces)
+        self.meta_np = meta
+        self.max_leaf = int(meta[:, 1].max()) if len(meta) else 0
+        a, b, c = a[order], b[order], c[order]
+        self.tri_a = jnp.asarray(a)
+        self.tri_e1 = jnp.asarray(b - a)
+        self.tri_e2 = jnp.asarray(c - a)
+        self.mat_row = jnp.asarray(np.asarray(mat_row, np.float32))
+        self.bbox_lo = nodes_lo[0].copy()
+        self.bbox_hi = nodes_hi[0].copy()
+        self.intersect = make_mesh_traverser(
+            nodes_lo, nodes_hi, meta, self.tri_a, self.tri_e1, self.tri_e2,
+            self.max_leaf)
+
+    def leaf_histogram(self):
+        return leaf_histogram(self.meta_np)
+
+
+def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
+                        max_leaf: int):
+    """Build intersect(org, d, t_max0) -> (t (N,), u, v, idx (N,), hit) over
+    the flattened BVH. All arrays are device-resident; per-lane node pointer
+    walk with gathers."""
+    n_nodes = nodes_lo.shape[0]
+    nodes_lo = jnp.asarray(nodes_lo)
+    nodes_hi = jnp.asarray(nodes_hi)
+    meta_j = jnp.asarray(meta)
+    tri_a = jnp.asarray(tri_a)
+    tri_e1 = jnp.asarray(tri_e1)
+    tri_e2 = jnp.asarray(tri_e2)
+    eps = np.float32(1e-6)
+
+    def intersect(org, d, t_max0=None):
+        n = org.shape[0]
+        if t_max0 is None:
+            t_max0 = jnp.full((n,), BIG)
+        inv_d = 1.0 / d
+
+        def cond(state):
+            node = state[0]
+            return jnp.any(node < n_nodes)
+
+        def body(state):
+            node, t_best, u_best, v_best, i_best = state
+            nc = jnp.minimum(node, n_nodes - 1)
+            lo = nodes_lo[nc]
+            hi = nodes_hi[nc]
+            mt = meta_j[nc]
+            # slab test (bbox.ml:40-56) against the shrinking t_best
+            t0 = (lo - org) * inv_d
+            t1 = (hi - org) * inv_d
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            box_hit = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, t_best)) \
+                & (node < n_nodes)
+            is_leaf = mt[:, 1] > 0
+
+            # leaf processing: masked fixed-width loop
+            def leaf_step(k, carry):
+                t_b, u_b, v_b, i_b = carry
+                j = jnp.minimum(mt[:, 0] + k, tri_a.shape[0] - 1)
+                active = box_hit & is_leaf & (k < mt[:, 1])
+                a = tri_a[j]
+                e1 = tri_e1[j]
+                e2 = tri_e2[j]
+                pvec = jnp.cross(d, e2)
+                det = jnp.sum(e1 * pvec, axis=-1)
+                det_inv = 1.0 / det
+                tvec = org - a
+                uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
+                qvec = jnp.cross(tvec, e1)
+                vv = det_inv * jnp.sum(d * qvec, axis=-1)
+                tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
+                ok = (active & (jnp.abs(det) >= eps) & (uu >= 0.0)
+                      & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt >= 0.0) & (tt <= jnp.minimum(t_b, t_max0))
+                      & (tt < t_b))
+                t_b = jnp.where(ok, tt, t_b)
+                u_b = jnp.where(ok, uu, u_b)
+                v_b = jnp.where(ok, vv, v_b)
+                i_b = jnp.where(ok, j, i_b)
+                return t_b, u_b, v_b, i_b
+
+            t_best, u_best, v_best, i_best = lax.fori_loop(
+                0, max_leaf, leaf_step, (t_best, u_best, v_best, i_best))
+            node = jnp.where(box_hit & ~is_leaf, node + 1, mt[:, 2])
+            node = jnp.where(state[0] >= n_nodes, n_nodes, node)
+            return node, t_best, u_best, v_best, i_best
+
+        n0 = jnp.zeros((n,), jnp.int32)
+        init = (n0, jnp.minimum(t_max0, BIG), jnp.zeros((n,)), jnp.zeros((n,)),
+                jnp.zeros((n,), jnp.int32))
+        _, t, u, v, idx = lax.while_loop(cond, body, init)
+        hit = t < jnp.minimum(t_max0, BIG)
+        return t, u, v, idx, hit
+
+    return intersect

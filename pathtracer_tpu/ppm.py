@@ -130,14 +130,14 @@ def _emit_rays(lights, counts, starts, lane_ids, u, v, dtype):
 
 
 def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
-                     backend: str, dtype=jnp.float32):
+                     backend: str, dtype=jnp.float32, mesh=None):
     """Build trace_photons(offset_base, radius is implicit) ->
     (pos, normal, flux, valid) deposit arrays of shape (lanes*max_bounces, .)."""
     sampler = Sampler(2 + 2 * max_bounces)
     counts, starts, total = light_photon_counts(lights, photon_count)
     lanes = -(-total // 1024) * 1024
     lane_ids = jnp.arange(lanes, dtype=jnp.int32)
-    hit_setup = make_intersector(scene, backend)
+    hit_setup = make_intersector(scene, backend, mesh=mesh)
 
     @jax.jit
     def trace_photons(offset_base):
@@ -232,7 +232,8 @@ def build_photon_grid(pos, valid, radius, m=1 << 17):
 
 def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
-                  backend: str, grid_m: int = 1 << 17, dtype=jnp.float32):
+                  backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
+                  mesh=None):
     """Build eye_pass(offset_base, radius, grid+deposits, k_cap) -> (H,W,3)
     contribution of one PPM iteration (already scaled by 1/photon_count)."""
     sampler = Sampler(2 + max_bounces)
@@ -241,7 +242,7 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     lane_ids = np.arange(lanes)
     xs = (lane_ids % width).astype(np.float32)
     ys = (lane_ids // width).astype(np.float32)
-    hit_setup = make_intersector(scene, backend)
+    hit_setup = make_intersector(scene, backend, mesh=mesh)
     inv_pc = np.float32(1.0 / photon_count)
 
     def gather(point, normal, radius, grid, k_cap):
@@ -349,12 +350,17 @@ class PPMRenderer:
     max_bounces: int = 4
     backend: str = None
     verbose: bool = True
+    mesh: object = None
+    bbox_override: tuple = None
 
     def __post_init__(self):
         if self.backend is None:
             self.backend = ("pallas" if jax.default_backend() == "tpu"
                             else "xla")
-        lo, hi = self.scene.bbox()
+        if self.bbox_override is not None:
+            lo, hi = self.bbox_override
+        else:
+            lo, hi = self.scene.bbox()
         a = float((hi - lo).sum()) / 3.0
         b = (self.width + self.height) / 2.0
         self.init_radius2 = (a / b) ** 2
@@ -377,11 +383,12 @@ class PPMRenderer:
             print("-----", flush=True)
         trace_photons, total = make_photon_pass(
             self.scene, self.lights, self.photon_count, self.max_bounces,
-            self.backend)
+            self.backend, mesh=self.mesh)
         dep_lanes = (-(-total // 1024) * 1024) * self.max_bounces
         eye_pass = make_eye_pass(self.scene, self.camera, self.width,
                                  self.height, self.max_bounces,
-                                 self.photon_count, dep_lanes, self.backend)
+                                 self.photon_count, dep_lanes, self.backend,
+                                 mesh=self.mesh)
         eye_jit = {}
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         for i in range(self.iterations):

@@ -1,0 +1,116 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracer_tpu.io import ply
+from pathtracer_tpu.ops import triangles as tri_ops
+from pathtracer_tpu.ops.bvh import MeshBVH, build_bvh
+
+
+def _mesh(n=60, seed=3):
+    rs = np.random.RandomState(seed)
+    verts = rs.uniform(-5, 5, (n, 3))
+    faces = rs.randint(0, n, (2 * n, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    return verts, faces
+
+
+def test_ply_roundtrip(tmp_path):
+    verts, faces = _mesh()
+    path = os.path.join(tmp_path, "m.ply")
+    ply.write_mesh(path, verts, faces)
+    p = ply.load(path)
+    np.testing.assert_allclose(
+        np.stack([p.data["vertex"][k] for k in "xyz"], 1),
+        verts.astype(np.float32))
+    np.testing.assert_array_equal(
+        p.data["vertex_indices"]["vertex_indices"], faces)
+
+
+def test_ply_rejects_bad_magic(tmp_path):
+    path = os.path.join(tmp_path, "bad.ply")
+    with open(path, "wb") as f:
+        f.write(b"not a ply file")
+    try:
+        ply.load(path)
+        assert False, "expected PlyError"
+    except ply.PlyError:
+        pass
+
+
+def test_ply_rejects_ascii(tmp_path):
+    path = os.path.join(tmp_path, "ascii.ply")
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat ascii 1.0\nelement vertex 0\n"
+                b"property float x\nend_header\n")
+    try:
+        ply.load(path)
+        assert False, "expected PlyError (ascii unsupported, like the ref)"
+    except ply.PlyError:
+        pass
+
+
+def test_bvh_structure():
+    verts, faces = _mesh(200, seed=1)
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    lo = np.minimum(np.minimum(a, b), c)
+    hi = np.maximum(np.maximum(a, b), c)
+    nodes_lo, nodes_hi, meta, order, depth = build_bvh(lo, hi)
+    # every primitive appears exactly once across leaves
+    assert sorted(order.tolist()) == list(range(len(faces)))
+    # root bbox covers everything
+    np.testing.assert_allclose(nodes_lo[0], lo.min(0), rtol=1e-6)
+    np.testing.assert_allclose(nodes_hi[0], hi.max(0), rtol=1e-6)
+    assert depth >= 2
+    # leaves within cutoff
+    leaf_sizes = meta[meta[:, 1] > 0, 1]
+    assert leaf_sizes.max() <= 8
+
+
+def test_bvh_traversal_matches_bruteforce():
+    verts, faces = _mesh(80, seed=7)
+    mat = np.zeros(12, np.float32)
+    mesh = MeshBVH(verts, faces, mat)
+    rs = np.random.RandomState(0)
+    n = 256
+    org = rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    t_b, u_b, v_b, idx_b, hit_b = mesh.intersect(jnp.asarray(org),
+                                                 jnp.asarray(d))
+
+    # brute force over the same (reordered) triangle set
+    tc = tri_ops.pack_for_intersect(mesh.tri_a, mesh.tri_e1, mesh.tri_e2,
+                                    jnp.ones(mesh.n_tris, bool))
+    t_f, idx_f, hit_f = tri_ops.intersect_tris(tc, jnp.asarray(org),
+                                               jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(hit_f))
+    h = np.asarray(hit_b)
+    np.testing.assert_allclose(np.asarray(t_b)[h], np.asarray(t_f)[h],
+                               rtol=1e-5, atol=1e-6)
+    # same winning triangle except exact ties
+    same = np.asarray(idx_b)[h] == np.asarray(idx_f)[h]
+    assert same.mean() > 0.95
+
+
+def test_ganesha_pipeline_tiny(tmp_path):
+    from tools.make_test_mesh import uv_sphere
+    from pathtracer_tpu.models import ganesha
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    verts, faces = uv_sphere(12, 8, np.array([328.0, 60.0, 150.0]), 45.0)
+    path = os.path.join(tmp_path, "tiny_ganesha.ply")
+    ply.write_mesh(path, verts, faces)
+    scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
+    assert mesh.n_tris == len(faces)
+    rend = PPMRenderer(scene, cam, lights, 24, 24, iterations=1,
+                       photon_count=1000, max_bounces=3, verbose=False,
+                       mesh=mesh, bbox_override=bbox)
+    img = rend.render()
+    assert np.isfinite(img).all()
+    assert img.max() > 0
