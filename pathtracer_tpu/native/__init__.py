@@ -1,0 +1,71 @@
+"""Native (C++) runtime tier, loaded via ctypes.
+
+Compiled on first use with g++ into this directory; callers fall back to the
+pure-numpy implementations when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+_TRIED = False
+
+
+def _compile_and_load():
+    src = os.path.join(_DIR, "bvh_build.cc")
+    so = os.path.join(_DIR, "libbvh.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+             "-o", so + ".tmp"],
+            check=True, capture_output=True)
+        os.replace(so + ".tmp", so)
+    lib = ctypes.CDLL(so)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.bvh_build.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_float, ctypes.c_float,
+                              f32p, f32p, i32p, i32p, i32p]
+    lib.bvh_build.restype = ctypes.c_int
+    return lib
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        try:
+            _LIB = _compile_and_load()
+        except Exception:
+            _LIB = None
+    return _LIB
+
+
+def bvh_build_native(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
+                     cost_i=1.0, cost_t=0.25):
+    """C++ binned-SAH build; returns the same tuple as ops.bvh.build_bvh or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(prim_lo, np.float32)
+    hi = np.ascontiguousarray(prim_hi, np.float32)
+    n = len(lo)
+    cap = max(2 * n, 4)
+    nodes_lo = np.empty((cap, 3), np.float32)
+    nodes_hi = np.empty((cap, 3), np.float32)
+    meta = np.empty((cap, 3), np.int32)
+    order = np.empty(n, np.int32)
+    depth = np.zeros(1, np.int32)
+    m = lib.bvh_build(lo, hi, n, length_cutoff, num_bins,
+                      np.float32(cost_i), np.float32(cost_t),
+                      nodes_lo, nodes_hi, meta, order, depth)
+    return (nodes_lo[:m].copy(), nodes_hi[:m].copy(), meta[:m].copy(),
+            order.astype(np.int64), int(depth[0]))

@@ -1,0 +1,226 @@
+// Binned-SAH BVH builder — native runtime tier.
+//
+// Same construction semantics as ops/bvh.py (and the reference's
+// shape_tree.ml:82-195: binned SAH over 3 axes, cost = costT +
+// (Al*Nl + Ar*Nr)*costI/Atotal, leaf when count <= 4 or SAH-stop with
+// count <= length_cutoff), emitted in depth-first order with skip links.
+// Exposed to Python via ctypes (see native/__init__.py). The reference's
+// native tier is its Rust AVX kernel + OCaml runtime; here the hot compute
+// path is Pallas/XLA and the host-side build/IO tier is C++.
+//
+// Build: g++ -O3 -march=native -shared -fPIC bvh_build.cc -o libbvh.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Node {
+  float lo[3], hi[3];
+  int32_t first, count, skip;  // count>0 => leaf
+};
+
+struct Builder {
+  const float* plo;  // (n,3)
+  const float* phi;
+  std::vector<float> cx, cy, cz;  // centroids
+  int length_cutoff, num_bins;
+  float cost_i, cost_t;
+  std::vector<Node> nodes;
+  std::vector<int32_t> order;   // leaf-contiguous primitive permutation
+  std::vector<int32_t> work;    // index scratch
+  int max_depth = 0;
+  // per-node scratch, hoisted out of the recursion
+  std::vector<int> bc, nl;
+  std::vector<float> blo, bhi, pre_lo, pre_hi, suf_lo, suf_hi;
+
+  inline float cent(int axis, int32_t i) const {
+    return axis == 0 ? cx[i] : (axis == 1 ? cy[i] : cz[i]);
+  }
+
+  static inline float area(const float lo[3], const float hi[3]) {
+    float dx = std::max(hi[0] - lo[0], 0.f);
+    float dy = std::max(hi[1] - lo[1], 0.f);
+    float dz = std::max(hi[2] - lo[2], 0.f);
+    return 2.f * (dx * dy + dy * dz + dz * dx);
+  }
+
+  void prim_union(int32_t* idx, int count, float lo[3], float hi[3]) const {
+    for (int a = 0; a < 3; ++a) {
+      lo[a] = 1e30f;
+      hi[a] = -1e30f;
+    }
+    for (int k = 0; k < count; ++k) {
+      const float* l = plo + 3 * idx[k];
+      const float* h = phi + 3 * idx[k];
+      for (int a = 0; a < 3; ++a) {
+        lo[a] = std::min(lo[a], l[a]);
+        hi[a] = std::max(hi[a], h[a]);
+      }
+    }
+  }
+
+  int rec(int32_t* idx, int count, int depth) {
+    max_depth = std::max(max_depth, depth);
+    int me = (int)nodes.size();
+    nodes.emplace_back();
+    prim_union(idx, count, nodes[me].lo, nodes[me].hi);
+    nodes[me].first = 0;
+    nodes[me].count = 0;
+    nodes[me].skip = 0;
+
+    bool make_leaf = count <= 4;
+    int best_axis = -1, best_bin = -1;
+    float best_cost = 1e30f, best_cmin = 0, best_cmax = 0;
+    if (!make_leaf) {
+      float total_area = std::max(area(nodes[me].lo, nodes[me].hi), 1e-30f);
+      for (int axis = 0; axis < 3; ++axis) {
+        float cmin = 1e30f, cmax = -1e30f;
+        for (int k = 0; k < count; ++k) {
+          float c = cent(axis, idx[k]);
+          cmin = std::min(cmin, c);
+          cmax = std::max(cmax, c);
+        }
+        if (cmax - cmin < 1e-12f) continue;
+        const int nb = num_bins;
+        bc.assign(nb, 0);
+        blo.assign(nb * 3, 1e30f);
+        bhi.assign(nb * 3, -1e30f);
+        float scale = nb / (cmax - cmin);
+        for (int k = 0; k < count; ++k) {
+          int32_t p = idx[k];
+          int b = std::min(nb - 1,
+                           std::max(0, (int)((cent(axis, p) - cmin) * scale)));
+          bc[b]++;
+          for (int a = 0; a < 3; ++a) {
+            blo[b * 3 + a] = std::min(blo[b * 3 + a], plo[3 * p + a]);
+            bhi[b * 3 + a] = std::max(bhi[b * 3 + a], phi[3 * p + a]);
+          }
+        }
+        // prefix scans
+        pre_lo.resize(nb * 3);
+        pre_hi.resize(nb * 3);
+        suf_lo.resize(nb * 3);
+        suf_hi.resize(nb * 3);
+        nl.resize(nb);
+        float acc_lo[3] = {1e30f, 1e30f, 1e30f};
+        float acc_hi[3] = {-1e30f, -1e30f, -1e30f};
+        int acc_n = 0;
+        for (int b = 0; b < nb; ++b) {
+          for (int a = 0; a < 3; ++a) {
+            acc_lo[a] = std::min(acc_lo[a], blo[b * 3 + a]);
+            acc_hi[a] = std::max(acc_hi[a], bhi[b * 3 + a]);
+            pre_lo[b * 3 + a] = acc_lo[a];
+            pre_hi[b * 3 + a] = acc_hi[a];
+          }
+          acc_n += bc[b];
+          nl[b] = acc_n;
+        }
+        float s_lo[3] = {1e30f, 1e30f, 1e30f};
+        float s_hi[3] = {-1e30f, -1e30f, -1e30f};
+        for (int b = nb - 1; b >= 0; --b) {
+          for (int a = 0; a < 3; ++a) {
+            s_lo[a] = std::min(s_lo[a], blo[b * 3 + a]);
+            s_hi[a] = std::max(s_hi[a], bhi[b * 3 + a]);
+            suf_lo[b * 3 + a] = s_lo[a];
+            suf_hi[b * 3 + a] = s_hi[a];
+          }
+        }
+        for (int b = 0; b < nb - 1; ++b) {
+          if (nl[b] == 0 || nl[b] == count) continue;
+          float al = area(&pre_lo[b * 3], &pre_hi[b * 3]);
+          float ar = area(&suf_lo[(b + 1) * 3], &suf_hi[(b + 1) * 3]);
+          float cost = cost_t +
+                       (al * nl[b] + ar * (count - nl[b])) * cost_i /
+                           total_area;
+          if (cost < best_cost) {
+            best_cost = cost;
+            best_axis = axis;
+            best_bin = b;
+            best_cmin = cmin;
+            best_cmax = cmax;
+          }
+        }
+      }
+      float leaf_cost = count * cost_i;
+      bool sah_stop = best_axis >= 0 && best_cost >= leaf_cost;
+      if (count <= length_cutoff && (best_axis < 0 || sah_stop))
+        make_leaf = true;
+    }
+
+    if (make_leaf) {
+      nodes[me].first = (int32_t)order.size();
+      nodes[me].count = count;
+      for (int k = 0; k < count; ++k) order.push_back(idx[k]);
+      nodes[me].skip = me + 1;
+      return me;
+    }
+
+    int mid;
+    if (best_axis < 0) {
+      mid = count / 2;  // degenerate centroids: median split
+    } else {
+      float scale = num_bins / (best_cmax - best_cmin);
+      auto pred = [&](int32_t p) {
+        int b = std::min(num_bins - 1,
+                         std::max(0, (int)((cent(best_axis, p) - best_cmin) *
+                                           scale)));
+        return b <= best_bin;
+      };
+      int32_t* split = std::partition(idx, idx + count, pred);
+      mid = (int)(split - idx);
+      if (mid == 0 || mid == count) mid = count / 2;
+    }
+    rec(idx, mid, depth + 1);
+    rec(idx + mid, count - mid, depth + 1);
+    nodes[me].skip = (int32_t)nodes.size();
+    return me;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the node count; fills the output arrays (caller allocates
+// nodes_* with capacity 2n, order with n). depth_out[0] = tree depth.
+int bvh_build(const float* prim_lo, const float* prim_hi, int n,
+              int length_cutoff, int num_bins, float cost_i, float cost_t,
+              float* nodes_lo, float* nodes_hi, int32_t* meta,
+              int32_t* order_out, int32_t* depth_out) {
+  Builder b;
+  b.plo = prim_lo;
+  b.phi = prim_hi;
+  b.length_cutoff = length_cutoff;
+  b.num_bins = num_bins;
+  b.cost_i = cost_i;
+  b.cost_t = cost_t;
+  b.cx.resize(n);
+  b.cy.resize(n);
+  b.cz.resize(n);
+  b.work.resize(n);
+  b.nodes.reserve(2 * n);
+  b.order.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    b.cx[i] = 0.5f * (prim_lo[3 * i] + prim_hi[3 * i]);
+    b.cy[i] = 0.5f * (prim_lo[3 * i + 1] + prim_hi[3 * i + 1]);
+    b.cz[i] = 0.5f * (prim_lo[3 * i + 2] + prim_hi[3 * i + 2]);
+    b.work[i] = i;
+  }
+  b.rec(b.work.data(), n, 1);
+  int m = (int)b.nodes.size();
+  for (int i = 0; i < m; ++i) {
+    std::memcpy(nodes_lo + 3 * i, b.nodes[i].lo, 12);
+    std::memcpy(nodes_hi + 3 * i, b.nodes[i].hi, 12);
+    meta[3 * i] = b.nodes[i].first;
+    meta[3 * i + 1] = b.nodes[i].count;
+    meta[3 * i + 2] = b.nodes[i].skip;
+  }
+  std::memcpy(order_out, b.order.data(), 4 * b.order.size());
+  depth_out[0] = b.max_depth;
+  return m;
+}
+}

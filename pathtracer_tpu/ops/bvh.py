@@ -28,10 +28,21 @@ BIG = np.float32(3.0e38)
 
 
 def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
-              cost_i=1.0, cost_t=0.25):
+              cost_i=1.0, cost_t=0.25, native=True):
     """Build from per-primitive bboxes. Returns (nodes_lo (M,3), nodes_hi
     (M,3), meta (M,3) int32 [first,count,skip], order (T,) primitive
-    permutation, depth)."""
+    permutation, depth).
+
+    Uses the C++ builder (native/bvh_build.cc) when available — ~100x the
+    python builder on large meshes — with this numpy version as the
+    reference implementation and fallback.
+    """
+    if native:
+        from ..native import bvh_build_native
+        out = bvh_build_native(prim_lo, prim_hi, length_cutoff, num_bins,
+                               cost_i, cost_t)
+        if out is not None:
+            return out
     n = len(prim_lo)
     cent = 0.5 * (prim_lo + prim_hi)
     order = np.arange(n)
