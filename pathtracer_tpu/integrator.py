@@ -99,7 +99,7 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         if has_mesh:
             t_cur = jnp.where(hit, jnp.where(use_tri, t_t, t_s) if has_tris
                               else t_s, spheres.BIG)
-            t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(org, d)
+            t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(org, d, active=alive)
             use_mesh = hit_m & (t_m < t_cur)
             use_tri = use_tri & ~use_mesh
             hit = hit | hit_m

@@ -210,10 +210,32 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
     tri_e2 = jnp.asarray(tri_e2)
     eps = np.float32(1e-6)
 
-    def intersect(org, d, t_max0=None):
+    def intersect(org, d, t_max0=None, active=None, chunk=8192):
+        """Chunked lockstep walk with a per-lane leaf cursor: each while
+        iteration
+        either advances the node pointer (box test) or tests ONE leaf
+        triangle (k = cursor, -1 = not in a leaf). A single iteration costs
+        one node fetch + one triangle fetch for every lane — the global
+        while condition means all lanes pay max-lane iterations, so keeping
+        the per-iteration cost flat beats a nested leaf loop by ~max_leaf x.
+        """
         n = org.shape[0]
         if t_max0 is None:
             t_max0 = jnp.full((n,), BIG)
+        if active is None:
+            active = jnp.ones((n,), bool)
+        # chunking bounds each while_loop's iteration count by its own worst
+        # lane instead of the global worst lane; inactive (dead) lanes start
+        # finished, so post-bounce-0 wavefronts with few survivors are cheap
+        if chunk and n > chunk and n % chunk == 0:
+            def one(args):
+                o, dd, tm, act = args
+                return intersect(o, dd, tm, act, chunk=None)
+            outs = lax.map(one, (org.reshape(-1, chunk, 3),
+                                 d.reshape(-1, chunk, 3),
+                                 t_max0.reshape(-1, chunk),
+                                 active.reshape(-1, chunk)))
+            return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
         inv_d = 1.0 / d
 
         def cond(state):
@@ -221,56 +243,63 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
             return jnp.any(node < n_nodes)
 
         def body(state):
-            node, t_best, u_best, v_best, i_best = state
+            node, k, t_best, u_best, v_best, i_best = state
             nc = jnp.minimum(node, n_nodes - 1)
+            mt = meta_j[nc]
+            first, count, skip = mt[:, 0], mt[:, 1], mt[:, 2]
+            in_leaf = k >= 0
+
+            # --- node step (k < 0): slab test (bbox.ml:40-56) ---
             lo = nodes_lo[nc]
             hi = nodes_hi[nc]
-            mt = meta_j[nc]
-            # slab test (bbox.ml:40-56) against the shrinking t_best
             t0 = (lo - org) * inv_d
             t1 = (hi - org) * inv_d
             tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
             tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
             box_hit = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, t_best)) \
                 & (node < n_nodes)
-            is_leaf = mt[:, 1] > 0
+            is_leaf = count > 0
 
-            # leaf processing: masked fixed-width loop
-            def leaf_step(k, carry):
-                t_b, u_b, v_b, i_b = carry
-                j = jnp.minimum(mt[:, 0] + k, tri_a.shape[0] - 1)
-                active = box_hit & is_leaf & (k < mt[:, 1])
-                a = tri_a[j]
-                e1 = tri_e1[j]
-                e2 = tri_e2[j]
-                pvec = jnp.cross(d, e2)
-                det = jnp.sum(e1 * pvec, axis=-1)
-                det_inv = 1.0 / det
-                tvec = org - a
-                uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
-                qvec = jnp.cross(tvec, e1)
-                vv = det_inv * jnp.sum(d * qvec, axis=-1)
-                tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
-                ok = (active & (jnp.abs(det) >= eps) & (uu >= 0.0)
-                      & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt >= 0.0) & (tt <= jnp.minimum(t_b, t_max0))
-                      & (tt < t_b))
-                t_b = jnp.where(ok, tt, t_b)
-                u_b = jnp.where(ok, uu, u_b)
-                v_b = jnp.where(ok, vv, v_b)
-                i_b = jnp.where(ok, j, i_b)
-                return t_b, u_b, v_b, i_b
+            # --- leaf step (k >= 0): test triangle first+k ---
+            j = jnp.clip(first + jnp.maximum(k, 0), 0, tri_a.shape[0] - 1)
+            a = tri_a[j]
+            e1 = tri_e1[j]
+            e2 = tri_e2[j]
+            pvec = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            det_inv = 1.0 / det
+            tvec = org - a
+            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
+            qvec = jnp.cross(tvec, e1)
+            vv = det_inv * jnp.sum(d * qvec, axis=-1)
+            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
+            ok = (in_leaf & (jnp.abs(det) >= eps) & (uu >= 0.0)
+                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt >= 0.0) & (tt <= jnp.minimum(t_best, t_max0)))
+            t_best = jnp.where(ok, tt, t_best)
+            u_best = jnp.where(ok, uu, u_best)
+            v_best = jnp.where(ok, vv, v_best)
+            i_best = jnp.where(ok, j, i_best)
 
-            t_best, u_best, v_best, i_best = lax.fori_loop(
-                0, max_leaf, leaf_step, (t_best, u_best, v_best, i_best))
-            node = jnp.where(box_hit & ~is_leaf, node + 1, mt[:, 2])
-            node = jnp.where(state[0] >= n_nodes, n_nodes, node)
-            return node, t_best, u_best, v_best, i_best
+            # --- state transition ---
+            k1 = k + 1
+            leaf_done = in_leaf & (k1 >= count)
+            # entering: hit leaf -> k=0 stay; hit inner -> descend; miss -> skip
+            enter_node = jnp.where(box_hit & ~is_leaf, node + 1, skip)
+            new_node = jnp.where(in_leaf,
+                                 jnp.where(leaf_done, skip, node), enter_node)
+            new_k = jnp.where(in_leaf,
+                              jnp.where(leaf_done, -1, k1),
+                              jnp.where(box_hit & is_leaf, 0, -1))
+            # a lane that hits a leaf stays on it (node unchanged, k=0)
+            new_node = jnp.where(~in_leaf & box_hit & is_leaf, node, new_node)
+            new_node = jnp.where(state[0] >= n_nodes, n_nodes, new_node)
+            return new_node, new_k, t_best, u_best, v_best, i_best
 
-        n0 = jnp.zeros((n,), jnp.int32)
-        init = (n0, jnp.minimum(t_max0, BIG), jnp.zeros((n,)), jnp.zeros((n,)),
-                jnp.zeros((n,), jnp.int32))
-        _, t, u, v, idx = lax.while_loop(cond, body, init)
+        n0 = jnp.where(active, 0, n_nodes).astype(jnp.int32)
+        init = (n0, jnp.full((n,), -1, jnp.int32), jnp.minimum(t_max0, BIG),
+                jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,), jnp.int32))
+        _, _, t, u, v, idx = lax.while_loop(cond, body, init)
         hit = t < jnp.minimum(t_max0, BIG)
         return t, u, v, idx, hit
 

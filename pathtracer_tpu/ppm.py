@@ -147,10 +147,11 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         org, d, flux = _emit_rays(lights, counts, starts, lane_ids, u0, v0,
                                   dtype)
         alive = lane_ids < total
-        dep_pos, dep_nrm, dep_flux, dep_ok = [], [], [], []
-        for b in range(max_bounces):
-            u = sampler.get(offs, 2 + 2 * b)
-            v = sampler.get(offs, 3 + 2 * b)
+
+        def bounce_body(carry, b):
+            org, d, flux, alive = carry
+            u = sampler.get_dyn(offs, 2 + 2 * b)
+            v = sampler.get_dyn(offs, 3 + 2 * b)
             h = hit_setup(org, d, alive)
             hit = h["hit"] & alive
             q = shading.shader_quat(h["normal"])
@@ -163,10 +164,6 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             # diffuse deposit (flux *= albedo first, ppm.ml:240-242)
             f_dep = flux * albedo
             dep = hit & is_diff
-            dep_pos.append(h["point"])
-            dep_nrm.append(h["normal"])
-            dep_flux.append(f_dep)
-            dep_ok.append(dep)
 
             # continuation
             # metal (material.ml:28-44)
@@ -198,8 +195,13 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             org = vec.where3(alive, new_org, org)
             d = vec.where3(alive, dir_world, d)
             flux = jnp.where(alive[..., None], f_new, flux)
-        return (jnp.concatenate(dep_pos), jnp.concatenate(dep_nrm),
-                jnp.concatenate(dep_flux), jnp.concatenate(dep_ok))
+            return (org, d, flux, alive), (h["point"], h["normal"], f_dep, dep)
+
+        _, (dep_pos, dep_nrm, dep_flux, dep_ok) = jax.lax.scan(
+            bounce_body, (org, d, flux, alive),
+            jnp.arange(max_bounces, dtype=jnp.int32))
+        return (dep_pos.reshape(-1, 3), dep_nrm.reshape(-1, 3),
+                dep_flux.reshape(-1, 3), dep_ok.reshape(-1))
 
     return trace_photons, total
 
@@ -245,6 +247,10 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     hit_setup = make_intersector(scene, backend, mesh=mesh)
     inv_pc = np.float32(1.0 / photon_count)
 
+    neighbor_offsets = np.array(
+        [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1)
+         for z in (-1, 0, 1)], np.int32)
+
     def gather(point, normal, radius, grid, k_cap):
         order, start, count, pos, nrm, flux, dep_valid = grid
         inv_r = 1.0 / radius
@@ -252,28 +258,29 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
         cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
         cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
-        acc = jnp.zeros_like(point)
-        for ddx in (-1, 0, 1):
-            for ddy in (-1, 0, 1):
-                for ddz in (-1, 0, 1):
-                    hkey = _cell_hash(cx + ddx, cy + ddy, cz + ddz, grid_m)
-                    s = start[hkey]
-                    c = count[hkey]
+        offs27 = jnp.asarray(neighbor_offsets)
 
-                    def body(k, acc):
-                        j = jnp.minimum(s + k, dep_lanes - 1)
-                        pj = order[j]
-                        ok = (k < c) & dep_valid[pj]
-                        pp = pos[pj]
-                        dist2 = vec.quadrance(point - pp)
-                        ok &= dist2 < r2
-                        ok &= vec.dot(nrm[pj], normal) > 1e-3
-                        w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
-                        return acc + jnp.where(ok[..., None],
-                                               w[..., None] * flux[pj], 0.0)
+        def cell_body(ci, acc):
+            off = offs27[ci]
+            hkey = _cell_hash(cx + off[0], cy + off[1], cz + off[2], grid_m)
+            s = start[hkey]
+            c = count[hkey]
 
-                    acc = jax.lax.fori_loop(0, k_cap, body, acc)
-        return acc
+            def body(k, acc):
+                j = jnp.minimum(s + k, dep_lanes - 1)
+                pj = order[j]
+                ok = (k < c) & dep_valid[pj]
+                pp = pos[pj]
+                dist2 = vec.quadrance(point - pp)
+                ok &= dist2 < r2
+                ok &= vec.dot(nrm[pj], normal) > 1e-3
+                w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
+                return acc + jnp.where(ok[..., None],
+                                       w[..., None] * flux[pj], 0.0)
+
+            return jax.lax.fori_loop(0, k_cap, body, acc)
+
+        return jax.lax.fori_loop(0, 27, cell_body, jnp.zeros_like(point))
 
     def eye_pass(offset_base, radius, grid, k_cap):
         offs = (jnp.asarray(lane_ids, jnp.uint32)
@@ -289,8 +296,10 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         beta = jnp.ones_like(d)
         alive = jnp.asarray(lane_ids < n_pix)
         result = jnp.zeros_like(d)
-        for b in range(max_bounces):
-            u = sampler.get(offs, 2 + b)  # one dim per eye bounce
+
+        def bounce_body(carry, b):
+            org, d, beta, alive, result = carry
+            u = sampler.get_dyn(offs, 2 + b)  # one dim per eye bounce
             h = hit_setup(org, d, alive)
             hit = h["hit"] & alive
             q = shading.shader_quat(h["normal"])
@@ -329,6 +338,11 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
             org = vec.where3(alive, new_org, org)
             d = vec.where3(alive, dir_world, d)
             beta = jnp.where(alive[..., None], beta_new, beta)
+            return (org, d, beta, alive, result), None
+
+        (org, d, beta, alive, result), _ = jax.lax.scan(
+            bounce_body, (org, d, beta, alive, result),
+            jnp.arange(max_bounces, dtype=jnp.int32))
         img = (result * inv_pc)[:n_pix].reshape(height, width, 3)
         return img[::-1]  # reference writes row (height-1-y)
 
