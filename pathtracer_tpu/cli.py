@@ -45,6 +45,8 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--interpreter", action="store_true",
                    help="force the plain-jnp interpreter path (A/B oracle; "
                         "the --no-simd analog)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the render to DIR")
 
 
 def run_shirley(argv=None) -> None:
@@ -67,6 +69,11 @@ def run_shirley(argv=None) -> None:
     print(f"build time = {build_ms:.3f} ms")
 
     backend = "xla" if args.interpreter else None
+    profile_cm = None
+    if args.profile:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
     t0 = time.monotonic()
     if args.no_progress:
         render = make_render_fn(cam, background, width, height,
@@ -81,6 +88,8 @@ def run_shirley(argv=None) -> None:
             args.max_ray_bounces, progress=bar.update, backend=backend)
         bar.close()
     elapsed_ms = (time.monotonic() - t0) * 1e3
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
     write_png(args.output, img)
     print(f"rendered in: {elapsed_ms:.3f} ms")
 
@@ -104,6 +113,9 @@ def add_ppm_args(p: argparse.ArgumentParser) -> None:
                    help="suppress progress monitor")
     p.add_argument("-max-bounces", "--max-bounces", type=int, default=4,
                    metavar="INT", help="max ray bounces")
+    p.add_argument("-checkpoint", "--checkpoint", metavar="FILE", default=None,
+                   help="save/resume iteration state (img_sum + counter) "
+                        "to FILE every iteration")
 
 
 def run_cornell(argv=None) -> None:
@@ -123,7 +135,7 @@ def run_cornell(argv=None) -> None:
                            photon_count=args.photon_count, alpha=args.alpha,
                            max_bounces=args.max_bounces,
                            verbose=not args.no_progress)
-    renderer.render(output=args.output)
+    renderer.render(output=args.output, checkpoint_path=args.checkpoint)
     print(f"render time = {(time.monotonic() - t0) * 1e3:.3f} ms")
 
 
@@ -166,7 +178,7 @@ def run_ganesha(argv=None) -> None:
                            max_bounces=args.max_bounces,
                            verbose=not args.no_progress, mesh=mesh,
                            bbox_override=bbox)
-    renderer.render(output=args.output)
+    renderer.render(output=args.output, checkpoint_path=args.checkpoint)
     print(f"elapsed ms: {(time.monotonic() - t_total) * 1e3:.3f}")
 
 

@@ -34,6 +34,7 @@ eye paths stop at the first diffuse) with offset pixel + iter*W*H
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Callable, List
 
@@ -387,7 +388,16 @@ class PPMRenderer:
             product *= (k + self.alpha) / k
         return math.sqrt(product * self.init_radius2 / i)
 
-    def render(self, output: str = None, checkpoint_cb=None):
+    def render(self, output: str = None, checkpoint_cb=None,
+               checkpoint_path: str = None):
+        """Run the PPM iteration loop.
+
+        checkpoint_path: if given, (img_sum, next_iteration) are saved there
+        every iteration and the run RESUMES from that file when it exists.
+        The reference only rewrites the averaged PNG each iteration
+        (ppm.ml:449); true resume is exact here because every sample is a
+        pure function of (iteration, offset) — no hidden RNG state.
+        """
         import functools
 
         if self.verbose:
@@ -405,7 +415,17 @@ class PPMRenderer:
                                  mesh=self.mesh)
         eye_jit = {}
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
-        for i in range(self.iterations):
+        start_iter = 0
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if (ck["img_sum"].shape == img_sum.shape
+                    and int(ck["photon_count"]) == self.photon_count
+                    and float(ck["alpha"]) == self.alpha):
+                img_sum = ck["img_sum"]
+                start_iter = int(ck["next_iteration"])
+                if self.verbose:
+                    print(f"resuming from iteration {start_iter}", flush=True)
+        for i in range(start_iter, self.iterations):
             r = self.radius(i + 1)
             if self.verbose:
                 print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
@@ -428,6 +448,13 @@ class PPMRenderer:
                 from .io.png import write_png
                 avg = (img_sum / (i + 1)) ** (1.0 / 2.2)  # PPM gamma 1/2.2
                 write_png(output, avg)
+            if checkpoint_path is not None:
+                tmp = checkpoint_path + ".tmp"
+                np.savez(tmp if tmp.endswith(".npz") else tmp, img_sum=img_sum,
+                         next_iteration=i + 1,
+                         photon_count=self.photon_count, alpha=self.alpha)
+                os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""),
+                           checkpoint_path)
             if checkpoint_cb is not None:
                 checkpoint_cb(i, img_sum)
         return img_sum

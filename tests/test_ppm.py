@@ -48,3 +48,19 @@ def test_ppm_deterministic():
     a = PPMRenderer(scene, cam, lights, 32, 32, **kw).render()
     b = PPMRenderer(scene, cam, lights, 32, 32, **kw).render()
     np.testing.assert_array_equal(a, b)
+
+
+def test_ppm_checkpoint_resume(tmp_path):
+    import os
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=2, photon_count=800, max_bounces=3, verbose=False)
+    ck = os.path.join(tmp_path, "ck.npz")
+    # full run
+    want = PPMRenderer(scene, cam, lights, 24, 24, **kw).render()
+    # run 1 iteration, "crash", resume for the second
+    r1 = PPMRenderer(scene, cam, lights, 24, 24, iterations=1,
+                     photon_count=800, max_bounces=3, verbose=False)
+    r1.render(checkpoint_path=ck)
+    got = PPMRenderer(scene, cam, lights, 24, 24, **kw).render(
+        checkpoint_path=ck)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
