@@ -359,22 +359,37 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
                    filter_order: int = 5, filter_radius: int = 1,
                    intersect_fn=None, passes_per_batch: int | None = None,
                    select_mode: str = "gather", backend: str | None = None,
-                   mesh=None):
-    """Build a jitted render(scene) -> (image (H,W,3), total segments)."""
+                   mesh=None, chains: int | None = None):
+    """Build a jitted render(scene) -> (image (H,W,3), total segments).
+
+    chains: number of INDEPENDENT pass pipelines per scan step. Two chains
+    let XLA overlap one chain's Pallas intersection with the other chain's
+    XLA-side shading (~10% on the bench); vectorized pass batching
+    (passes_per_batch > 1) fuses wavefronts instead, which loses to memory
+    pressure on this scene size.
+    """
     pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
                            dtype, intersect_fn, select_mode=select_mode,
                            backend=backend, mesh=mesh)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
-    pb = passes_per_batch or default_passes_per_batch(width, height, spp)
+    pb = passes_per_batch or 1
+    if chains is None:
+        chains = 2 if (spp // pb) % 2 == 0 else 1
+    steps = spp // pb // chains
 
     @jax.jit
     def render(scene: SphereScene):
-        def body(sums, p_vec):
-            s, segs = pass_fn(scene, p_vec)
-            return sums + s, segs
+        def body(sums, p_mat):
+            total = sums
+            segs = jnp.zeros((), jnp.int32)
+            for k in range(chains):
+                s, g = pass_fn(scene, p_mat[k] if pb > 1 else p_mat[k, 0])
+                total = total + s
+                segs = segs + g
+            return total, segs
 
         sums, segs = lax.scan(body, jnp.zeros((height, width, 3), dtype),
-                              jnp.arange(spp).reshape(spp // pb, pb))
+                              jnp.arange(spp).reshape(steps, chains, pb))
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, jnp.sum(segs)
 
