@@ -252,38 +252,74 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1)
          for z in (-1, 0, 1)], np.int32)
 
-    def gather(point, normal, radius, grid, k_cap):
-        order, start, count, pos, nrm, flux, dep_valid = grid
+    def _gather_chunk(args):
+        """Per-lane dynamic cursor over the 27 neighbor cells' photon lists:
+        total iterations per lockstep chunk = its own worst lane's actual
+        photon count (plus 27 cell steps) — no fixed worst-case cap, so a
+        caustic-dense cell doesn't tax the whole image, and inactive lanes
+        cost nothing. Chunking bounds single-device-call duration (the
+        tunneled TPU kills calls that run for minutes)."""
+        point, normal, active, radius, order, start, count, pos, nrm, flux,             dep_valid = args
         inv_r = 1.0 / radius
         r2 = radius * radius
         cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
         cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
         cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
         offs27 = jnp.asarray(neighbor_offsets)
+        # per-lane (27,) cell start/count tables
+        hkeys = _cell_hash(cx[:, None] + offs27[None, :, 0],
+                           cy[:, None] + offs27[None, :, 1],
+                           cz[:, None] + offs27[None, :, 2], grid_m)
+        s_tab = start[hkeys]  # (n, 27)
+        c_tab = count[hkeys]
 
-        def cell_body(ci, acc):
-            off = offs27[ci]
-            hkey = _cell_hash(cx + off[0], cy + off[1], cz + off[2], grid_m)
-            s = start[hkey]
-            c = count[hkey]
+        def cond(state):
+            ci = state[0]
+            return jnp.any(ci < 27)
 
-            def body(k, acc):
-                j = jnp.minimum(s + k, dep_lanes - 1)
-                pj = order[j]
-                ok = (k < c) & dep_valid[pj]
-                pp = pos[pj]
-                dist2 = vec.quadrance(point - pp)
-                ok &= dist2 < r2
-                ok &= vec.dot(nrm[pj], normal) > 1e-3
-                w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
-                return acc + jnp.where(ok[..., None],
-                                       w[..., None] * flux[pj], 0.0)
+        def body(state):
+            ci, k, acc = state
+            cic = jnp.minimum(ci, 26)
+            cur_s = jnp.take_along_axis(s_tab, cic[:, None], 1)[:, 0]
+            cur_c = jnp.take_along_axis(c_tab, cic[:, None], 1)[:, 0]
+            in_cell = (ci < 27) & (k < cur_c)
+            j = jnp.minimum(cur_s + k, dep_lanes - 1)
+            pj = order[j]
+            ok = in_cell & dep_valid[pj]
+            pp = pos[pj]
+            dist2 = vec.quadrance(point - pp)
+            ok &= dist2 < r2
+            ok &= vec.dot(nrm[pj], normal) > 1e-3
+            w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
+            acc = acc + jnp.where(ok[..., None], w[..., None] * flux[pj], 0.0)
+            k1 = k + 1
+            done_cell = ~in_cell
+            ci = jnp.where(done_cell, ci + 1, ci)
+            k = jnp.where(done_cell, 0, k1)
+            return ci, k, acc
 
-            return jax.lax.fori_loop(0, k_cap, body, acc)
+        ci0 = jnp.where(active, 0, 27).astype(jnp.int32)
+        init = (ci0, jnp.zeros_like(ci0), jnp.zeros_like(point))
+        _, _, acc = jax.lax.while_loop(cond, body, init)
+        return acc
 
-        return jax.lax.fori_loop(0, 27, cell_body, jnp.zeros_like(point))
+    def gather(point, normal, active, radius, grid, chunk=16384):
+        order, start, count, pos, nrm, flux, dep_valid = grid
+        n = point.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            point = jnp.concatenate([point, jnp.zeros((pad, 3))])
+            normal = jnp.concatenate([normal, jnp.zeros((pad, 3))])
+            active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+        nc = point.shape[0] // chunk
+        rsh = lambda x: x.reshape(nc, chunk, *x.shape[1:])
+        acc = jax.lax.map(
+            lambda a: _gather_chunk(a + (radius, order, start, count, pos,
+                                         nrm, flux, dep_valid)),
+            (rsh(point), rsh(normal), rsh(active)))
+        return acc.reshape(-1, 3)[:n]
 
-    def eye_pass(offset_base, radius, grid, k_cap):
+    def eye_pass(offset_base, radius, grid):
         offs = (jnp.asarray(lane_ids, jnp.uint32)
                 + offset_base.astype(jnp.uint32))
         dx = sampler.get(offs, 0)
@@ -312,7 +348,8 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
 
             # diffuse: gather and terminate (ppm.ml:330-371)
             beta_d = beta * albedo
-            flux = gather(h["point"], h["normal"], radius, grid, k_cap)
+            flux = gather(h["point"], h["normal"], hit & is_diff, radius,
+                          grid)
             area = np.float32(np.pi) * radius * radius
             normalizer = np.float32(1.0 - 2.0 / 3.0)
             contrib = beta_d * flux / (area * normalizer)
@@ -435,13 +472,10 @@ class PPMRenderer:
             if self.verbose:
                 print(f"  photon map length = {n_photons}", flush=True)
             order, start, count = build_photon_grid(pos, ok, jnp.float32(r))
-            k_cap = int(count.max())
-            k_cap = 1 << max(3, (k_cap - 1).bit_length())  # pow2, >= 8
-            if k_cap not in eye_jit:
-                eye_jit[k_cap] = jax.jit(
-                    functools.partial(eye_pass, k_cap=k_cap))
+            if "fn" not in eye_jit:
+                eye_jit["fn"] = jax.jit(eye_pass)
             grid = (order, start, count, pos, nrm, flux, ok)
-            img = eye_jit[k_cap](
+            img = eye_jit["fn"](
                 jnp.uint32(i * self.width * self.height), jnp.float32(r), grid)
             img_sum += np.asarray(img, np.float64)
             if output is not None:
