@@ -26,7 +26,16 @@ def main():
     from pathtracer_tpu.models import shirley
 
     scene, cam, background = shirley.build(width / height)
-    render = make_render_fn(cam, background, width, height, spp, bounces)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and spp % n_dev == 0:
+        # multi-chip: shard passes over the device mesh, psum the film
+        from pathtracer_tpu.parallel.mesh import (make_mesh,
+                                                  make_sharded_render_fn)
+        mesh = make_mesh(dp=n_dev, sp=1)
+        render = make_sharded_render_fn(cam, background, width, height, spp,
+                                        bounces, mesh)
+    else:
+        render = make_render_fn(cam, background, width, height, spp, bounces)
 
     # warmup / compile
     img, segs = render(scene)
