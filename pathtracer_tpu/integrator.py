@@ -186,7 +186,15 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     from .ops.pallas import sphere_kernel as sk
 
     if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas2":
+        usable = (intersect_fn is None and scene.tri_count == 0
+                  and mesh is None
+                  and getattr(background, "pallas_params", None) is not None)
+        if usable:
+            return _trace_pallas2(scene, sampler, org, d, offset, max_bounces,
+                                  background, alive0)
+        backend = "pallas"
 
     n = org.shape[0]
     dtype = org.dtype
@@ -233,6 +241,58 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
         org = vec.where3(alive, new_org, org)
         d = vec.where3(alive, dir_world, d)
         attn = jnp.where(alive[..., None], attn * attn_mult, attn)
+    if n_pad:
+        rad = rad[:n]
+    return rad, segments
+
+
+def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
+                   alive0):
+    """Fully fused two-kernel bounce loop (sphere scenes only): Pallas
+    intersection + Pallas shading, state kept transposed (10, N) across
+    bounces so each bounce reads/writes it exactly once."""
+    from .ops.pallas import sphere_kernel as sk
+    from .ops.pallas import shade_kernel as shk
+
+    n = org.shape[0]
+    n_pad = (-n) % sk.RAY_BLOCK
+    if n_pad:
+        org = jnp.concatenate([org, jnp.zeros((n_pad, 3), org.dtype)])
+        d = jnp.concatenate([d, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], org.dtype), (n_pad, 3))])
+        offset = jnp.concatenate([offset, jnp.zeros((n_pad,), offset.dtype)])
+    np_tot = n + n_pad
+    alive = jnp.arange(np_tot) < n
+    if alive0 is not None:
+        alive0_p = (jnp.concatenate([alive0, jnp.zeros((n_pad,), bool)])
+                    if n_pad else alive0)
+        alive = alive & alive0_p
+
+    tables = sk.pack_spheres_pallas(scene.center, scene.radius, scene.valid)
+    pack_t = scene.shade_pack.T  # (16, S)
+    bg_mode, bg_colors = background.pallas_params
+    bg_colors = jnp.asarray(bg_colors, jnp.float32)
+
+    state = jnp.concatenate([org.T, d.T, org.T * 0.0 + 1.0,
+                             alive[None].astype(jnp.float32)])  # (10, N)
+    rad_t = jnp.zeros((3, np_tot), jnp.float32)
+    segments = jnp.zeros((), jnp.int32)
+    hi = np.asarray(sampler.hi)
+    lo = np.asarray(sampler.lo)
+
+    for bounce in range(max_bounces):
+        alive_b = state[9] > 0.0
+        segments = segments + jnp.sum(alive_b.astype(jnp.int32))
+        at, idx, hit, inv_a = sk.intersect_spheres_pallas(
+            tables, state[0:3].T, state[3:6].T, alive_b)
+        pk_cols = pack_t[:, idx]  # (16, N) gather
+        du, dv = 2 + 2 * bounce, 3 + 2 * bounce
+        limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
+        state, rad_add = shk.shade_pallas(
+            state, pk_cols, offset, (hit & alive_b).astype(jnp.float32),
+            inv_a, limbs, bg_colors, bg_mode=bg_mode)
+        rad_t = rad_t + rad_add
+    rad = rad_t.T
     if n_pad:
         rad = rad[:n]
     return rad, segments

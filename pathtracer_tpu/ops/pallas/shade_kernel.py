@@ -1,0 +1,306 @@
+"""Pallas TPU kernel: the full per-bounce shading stage.
+
+Companion to sphere_kernel: after the intersection kernel selects a winner
+and XLA gathers its 16 material columns, this kernel runs everything else —
+stable-t recomputation, hit point/normal, spherical uv (polynomial
+atan2/acos: Mosaic has no acos/atan lowering), checker/solid texture,
+tangent-frame quaternion, the fixed-point LDS draws, the three-material
+scatter, and the ray-state update — in registers, with whole-block early
+exit for dead tiles. This removes the XLA-side per-bounce elementwise
+pipeline and most of its HBM round-trips (the state arrays are read/written
+exactly once per bounce here).
+
+Math is identical to integrator.trace's XLA path (itself mirroring
+material.ml / shader_space.ml / sphere.ml); the only approximation is the
+polynomial atan (~1e-7 rad), which feeds only texture uv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sphere_kernel import BIG, LANES, RAY_BLOCK
+
+_PI = np.float32(np.pi)
+_TWO_PI_INV = np.float32(0.5 / np.pi)
+_PI_INV = np.float32(1.0 / np.pi)
+
+
+def _atan_poly(z):
+    """Minimax atan on |z| <= 1 (~2e-7 rad)."""
+    t = z * z
+    p = np.float32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347, 0.99997726):
+        p = p * t + np.float32(c)
+    return z * p
+
+
+def _atan2(y, x):
+    """Full-quadrant atan2 from the atan polynomial."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    r = _atan_poly(num / jnp.maximum(den, np.float32(1e-30)))
+    r = jnp.where(swap, np.float32(0.5 * np.pi) - r, r)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(x):
+    """acos via atan2(sqrt(1-x^2), x)."""
+    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    return _atan2(s, x)
+
+
+def _lds(offset_u32, hi, lo):
+    """Fixed-point Roberts sequence draw (ops/lds.py sample_fixed),
+    uint16-limb 64-bit product, top word -> [0,1)."""
+    m = offset_u32 + jnp.uint32(1)
+    mask16 = jnp.uint32(0xFFFF)
+    p0 = lo & mask16
+    p1 = lo >> 16
+    q0 = m & mask16
+    q1 = m >> 16
+    pp0 = p0 * q0
+    pp1a = p0 * q1
+    pp1b = p1 * q0
+    t1 = pp0 + (pp1a << 16)
+    c1 = (t1 < pp0).astype(jnp.uint32)
+    t2 = t1 + (pp1b << 16)
+    c2 = (t2 < t1).astype(jnp.uint32)
+    hi_w = hi * m + p1 * q1 + (pp1a >> 16) + (pp1b >> 16) + c1 + c2
+    v = hi_w + jnp.uint32(0x80000000)
+    # Mosaic can't cast uint32->f32; drop the lowest bit (below f32
+    # resolution) and go via int32
+    s = ((v >> 1).astype(jnp.int32).astype(jnp.float32)
+         * np.float32(2.0 ** -31))
+    return jnp.minimum(s, np.float32(1.0 - 2.0 ** -24))
+
+
+def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, hit_ref, inva_ref,
+            out_st_ref, rad_ref, *, bg_mode):
+    alive = st_ref[9]
+    any_alive = jnp.max(alive) > 0.0
+    # default outputs: passthrough state, no radiance
+    out_st_ref[...] = st_ref[...]
+    rad_ref[...] = jnp.zeros_like(rad_ref)
+
+    @pl.when(any_alive)
+    def _run():
+        o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
+        d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
+        a0, a1, a2 = st_ref[6], st_ref[7], st_ref[8]
+        alive = st_ref[9] > 0.0
+        hit = (hit_ref[:] > 0.0) & alive
+        inv_a = inva_ref[:]
+        a_q = d0 * d0 + d1 * d1 + d2 * d2
+
+        cx, cy, cz, rad_s = pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3]
+        mat_k, tex_k = pk_ref[4], pk_ref[5]
+        ca0, ca1, ca2 = pk_ref[6], pk_ref[7], pk_ref[8]
+        cb0, cb1, cb2 = pk_ref[9], pk_ref[10], pk_ref[11]
+        cw, ch = pk_ref[12], pk_ref[13]
+        ior, ior_inv = pk_ref[14], pk_ref[15]
+
+        # stable t (sphere.ml:35-54) from the winner's params
+        f0, f1, f2 = cx - o0, cy - o1, cz - o2
+        bp = f0 * d0 + f1 * d1 + f2 * d2
+        quad_f = f0 * f0 + f1 * f1 + f2 * f2
+        r2 = rad_s * rad_s
+        c_c = quad_f - r2
+        disc = r2 - quad_f + bp * bp * inv_a
+        sgn = jnp.where(bp >= 0.0, np.float32(1.0), np.float32(-1.0))
+        qq = sgn * jnp.sqrt(jnp.maximum(a_q * disc, 0.0)) + bp
+        t = jnp.where(c_c > 0.0, c_c / qq, qq * inv_a)
+
+        # hit point + flipped normal
+        p0, p1, p2 = o0 + t * d0, o1 + t * d1, o2 + t * d2
+        n0, n1, n2 = p0 - cx, p1 - cy, p2 - cz
+        ninv = jax.lax.rsqrt(jnp.maximum(n0 * n0 + n1 * n1 + n2 * n2,
+                                         np.float32(1e-38)))
+        n0, n1, n2 = n0 * ninv, n1 * ninv, n2 * ninv
+        ddn = d0 * n0 + d1 * n1 + d2 * n2
+        front = ddn < 0.0
+        fs = jnp.where(front, np.float32(1.0), np.float32(-1.0))
+        n0, n1, n2 = n0 * fs, n1 * fs, n2 * fs
+
+        # spherical uv (sphere.ml:25-33)
+        theta = _acos(jnp.clip(-n1, -1.0, 1.0))
+        phi = _PI + _atan2(-n2, n0)
+        u_t = phi * _TWO_PI_INV
+        v_t = theta * _PI_INV
+        # checker parity (texture.ml:20-31)
+        pxp = jnp.trunc(u_t * cw).astype(jnp.int32) & 1
+        pyp = jnp.trunc(v_t * ch).astype(jnp.int32) & 1
+        even = pxp == pyp
+        is_check = tex_k == 1.0
+        alb0 = jnp.where(is_check & ~even, cb0, ca0)
+        alb1 = jnp.where(is_check & ~even, cb1, ca1)
+        alb2 = jnp.where(is_check & ~even, cb2, ca2)
+
+        # tangent frame quaternion (shader_space.ml:11-23)
+        eps = np.float32(1e-6)
+        gw = 1.0 + n2
+        gnorm = jax.lax.rsqrt(jnp.maximum(gw * gw + n1 * n1 + n0 * n0,
+                                          np.float32(1e-38)))
+        qw = gw * gnorm
+        qx = n1 * gnorm
+        qy = -n0 * gnorm
+        # poles: z ~ +1 -> identity; z ~ -1 -> (0, (0,1,0))
+        top = n2 > 1.0 - eps
+        bot = n2 < eps - 1.0
+        qw = jnp.where(top, 1.0, jnp.where(bot, 0.0, qw))
+        qx = jnp.where(top | bot, 0.0, qx)
+        qy = jnp.where(top, 0.0, jnp.where(bot, 1.0, qy))
+        # qz = 0 always for this construction
+
+        def rot(qw, qx, qy, v0, v1, v2, inv):
+            # rotate v by quat (qw, qx, qy, 0); inv negates the vector part
+            s = np.float32(-1.0) if inv else np.float32(1.0)
+            rx, ry = qx * s, qy * s
+            # t = 2 * cross(qv, v), qv = (rx, ry, 0)
+            t0 = 2.0 * (ry * v2)
+            t1 = 2.0 * (-rx * v2)
+            t2 = 2.0 * (rx * v1 - ry * v0)
+            # v + w*t + cross(qv, t)
+            w0 = v0 + qw * t0 + (ry * t2)
+            w1 = v1 + qw * t1 + (-rx * t2)
+            w2 = v2 + qw * t2 + (rx * t1 - ry * t0)
+            return w0, w1, w2
+
+        wi0, wi1, wi2 = rot(qw, qx, qy, -d0, -d1, -d2, False)
+
+        # LDS draws
+        off = off_ref[:]
+        u = _lds(off, limb_ref[0, 0], limb_ref[0, 1])
+        v = _lds(off, limb_ref[1, 0], limb_ref[1, 1])
+
+        # --- scatter (material.ml:22-57) ---
+        # lambertian: cosine hemisphere
+        rr = jnp.sqrt(u)
+        th = v * np.float32(2.0 * np.pi)
+        lam0 = rr * jnp.cos(th)
+        lam1 = rr * jnp.sin(th)
+        lam2 = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
+        lam_ok = lam2 > 0.0
+        # metal: mirror + tint
+        met0, met1, met2 = -wi0, -wi1, wi2
+        met_ok = met2 > 0.0
+        s5 = (1.0 - wi2)
+        s5 = s5 * s5 * s5 * s5 * s5
+        tn0 = alb0 + (1.0 - alb0) * s5
+        tn1 = alb1 + (1.0 - alb1) * s5
+        tn2 = alb2 + (1.0 - alb2) * s5
+        # dielectric
+        ci = jnp.clip(wi2, 0.0, 1.0)
+        si = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 0.0))
+        ratio = jnp.where(front, ior_inv, ior)
+        r0s = (1.0 - ratio) / (1.0 + ratio)
+        r0s = r0s * r0s
+        omc = 1.0 - ci
+        omc5 = omc * omc * omc * omc * omc
+        schl = r0s + (1.0 - r0s) * omc5
+        do_refl = (ratio * si > 1.0) | (schl > u)
+        # refract (shader_space.ml:41-49)
+        cc = jnp.minimum(wi2, 1.0)
+        pe0 = ratio * (-wi0)
+        pe1 = ratio * (-wi1)
+        pe2 = ratio * (cc - wi2)
+        para = -jnp.sqrt(jnp.abs(1.0 - (pe0 * pe0 + pe1 * pe1 + pe2 * pe2)))
+        die0 = jnp.where(do_refl, met0, pe0)
+        die1 = jnp.where(do_refl, met1, pe1)
+        die2 = jnp.where(do_refl, met2, pe2 + para)
+
+        is_met = mat_k == 1.0
+        is_die = mat_k == 2.0
+        wo0 = jnp.where(is_die, die0, jnp.where(is_met, met0, lam0))
+        wo1 = jnp.where(is_die, die1, jnp.where(is_met, met1, lam1))
+        wo2 = jnp.where(is_die, die2, jnp.where(is_met, met2, lam2))
+        am0 = jnp.where(is_die, 1.0, jnp.where(is_met, tn0, alb0))
+        am1 = jnp.where(is_die, 1.0, jnp.where(is_met, tn1, alb1))
+        am2 = jnp.where(is_die, 1.0, jnp.where(is_met, tn2, alb2))
+        ok = is_die | (is_met & met_ok) | (~is_die & ~is_met & lam_ok)
+
+        # world ray (shader_space.ml:51-54)
+        dw0, dw1, dw2 = rot(qw, qx, qy, wo0, wo1, wo2, True)
+        shadow = np.float32(1e-3)
+        no0 = p0 + shadow * dw0
+        no1 = p1 + shadow * dw1
+        no2 = p2 + shadow * dw2
+
+        # miss: background radiance (rad += attn * bg)
+        miss = alive & ~hit
+        if bg_mode == 1:
+            tt = 0.5 * (d1 + 1.0)
+            b0 = bg_ref[0, 0] * (1.0 - tt) + bg_ref[1, 0] * tt
+            b1 = bg_ref[0, 1] * (1.0 - tt) + bg_ref[1, 1] * tt
+            b2 = bg_ref[0, 2] * (1.0 - tt) + bg_ref[1, 2] * tt
+        else:
+            b0 = jnp.full_like(d0, bg_ref[0, 0])
+            b1 = jnp.full_like(d0, bg_ref[0, 1])
+            b2 = jnp.full_like(d0, bg_ref[0, 2])
+        zero = jnp.zeros_like(d0)
+        rad_ref[0] = jnp.where(miss, a0 * b0, zero)
+        rad_ref[1] = jnp.where(miss, a1 * b1, zero)
+        rad_ref[2] = jnp.where(miss, a2 * b2, zero)
+
+        new_alive = hit & ok
+        out_st_ref[0] = jnp.where(new_alive, no0, o0)
+        out_st_ref[1] = jnp.where(new_alive, no1, o1)
+        out_st_ref[2] = jnp.where(new_alive, no2, o2)
+        out_st_ref[3] = jnp.where(new_alive, dw0, d0)
+        out_st_ref[4] = jnp.where(new_alive, dw1, d1)
+        out_st_ref[5] = jnp.where(new_alive, dw2, d2)
+        out_st_ref[6] = jnp.where(new_alive, a0 * am0, a0)
+        out_st_ref[7] = jnp.where(new_alive, a1 * am1, a1)
+        out_st_ref[8] = jnp.where(new_alive, a2 * am2, a2)
+        out_st_ref[9] = new_alive.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("bg_mode", "interpret"))
+def shade_pallas(state, pk_cols, offset, hit, inv_a, limbs, bg_colors,
+                 bg_mode=1, interpret=False):
+    """Run the shading stage for one bounce.
+
+    state: (10, N) f32 [org3, dir3, attn3, alive]; pk_cols: (16, N) gathered
+    material columns; offset: (N,) uint32; hit: (N,) f32; inv_a: (N,) f32;
+    limbs: (2, 2) uint32 [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3) f32.
+    Returns (new_state (10, N), rad_add (3, N)).
+    """
+    n = state.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    rows = n // LANES
+    block_rows = RAY_BLOCK // LANES
+
+    def spec3(lead):
+        return pl.BlockSpec((lead, block_rows, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    rsh = lambda x, lead: x.reshape(lead, rows, LANES)
+    st = rsh(state, 10)
+    pk = rsh(pk_cols, 16)
+    off = offset.reshape(rows, LANES)
+    hit2 = hit.reshape(rows, LANES)
+    inva2 = inv_a.reshape(rows, LANES)
+    lane_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_st, rad = pl.pallas_call(
+        functools.partial(_kernel, bg_mode=bg_mode),
+        grid=(n // RAY_BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec3(10), spec3(16), lane_spec, lane_spec, lane_spec],
+        out_specs=(spec3(10), spec3(3)),
+        out_shape=(jax.ShapeDtypeStruct((10, rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32)),
+        interpret=interpret,
+    )(limbs, bg_colors, st, pk, off, hit2, inva2)
+    return out_st.reshape(10, n), rad.reshape(3, n)
