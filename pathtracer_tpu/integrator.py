@@ -268,6 +268,11 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
                     if n_pad else alive0)
         alive = alive & alive0_p
 
+    # NOTE: the clustered kernel (intersect_clustered_pallas) loses badly at
+    # this scene size — each block-level cull is a vector->scalar sync that
+    # drains the VPU pipeline (~2us), and a 16-sphere cluster only guards
+    # ~0.3us of work. Revisit for scenes with >= tens of thousands of
+    # primitives where clusters can be hundreds wide.
     tables = sk.pack_spheres_pallas(scene.center, scene.radius, scene.valid)
     pack_t = scene.shade_pack.T  # (16, S)
     bg_mode, bg_colors = background.pallas_params

@@ -104,6 +104,162 @@ def _kernel_body(sph_ref, d0_ref, d1_ref, d2_ref,
     idx_ref[:] = best_idx
 
 
+CLUSTER = 16  # spheres per cluster in the clustered kernel
+
+
+def pack_spheres_clustered(center, radius, valid):
+    """Cluster spheres into BVH leaves of <= CLUSTER, pad each cluster to
+    exactly CLUSTER (A = -BIG pads never hit), and compute per-cluster
+    bounding spheres. Returns (sph_table (4, K*CLUSTER), cluster_table
+    (4, K), perm (K*CLUSTER,) original-index map)."""
+    import numpy as np_
+    from ..bvh import build_bvh
+
+    center_np = np_.asarray(center, np_.float32)
+    radius_np = np_.asarray(radius, np_.float32)
+    valid_np = np_.asarray(valid)
+    idx = np_.nonzero(valid_np)[0]
+    lo = center_np[idx] - radius_np[idx][:, None]
+    hi = center_np[idx] + radius_np[idx][:, None]
+    _, _, meta, order, _ = build_bvh(lo, hi, length_cutoff=CLUSTER,
+                                     num_bins=16)
+    leaves = meta[meta[:, 1] > 0]
+    k = len(leaves)
+    sph = np_.zeros((4, k * CLUSTER), np_.float32)
+    sph[3, :] = -BIG  # pad: never hits
+    perm = np_.zeros(k * CLUSTER, np_.int32)
+    clus = np_.zeros((4, k), np_.float32)
+    for ci, (first, count, _skip) in enumerate(leaves):
+        prims = idx[order[first:first + count]]
+        base = ci * CLUSTER
+        c = center_np[prims]
+        r = radius_np[prims]
+        sph[0, base:base + count] = c[:, 0]
+        sph[1, base:base + count] = c[:, 1]
+        sph[2, base:base + count] = c[:, 2]
+        sph[3, base:base + count] = r * r - (c * c).sum(1)
+        perm[base:base + count] = prims
+        # bounding sphere of the cluster (loose: bbox circumsphere)
+        blo = (c - r[:, None]).min(0)
+        bhi = (c + r[:, None]).max(0)
+        cc = 0.5 * (blo + bhi)
+        cr = float(np_.linalg.norm(bhi - cc))
+        clus[0:3, ci] = cc
+        clus[3, ci] = cr * cr
+    return (jnp.asarray(sph), jnp.asarray(clus), jnp.asarray(perm))
+
+
+def _kernel_clustered(sph_ref, clus_ref, alive_ref, d0_ref, d1_ref, d2_ref,
+                      o0_ref, o1_ref, o2_ref, at_ref, idx_ref,
+                      bat_ref, bidx_ref, *, n_clusters):
+    """Clustered brute force: per cluster, a block-level bounding-sphere cull
+    (all 1024 rays must miss to skip); surviving clusters run the same
+    16-sphere register loop with the running min carried in VMEM scratch so
+    the skip is a real @pl.when branch (lax.cond executes both paths in
+    Mosaic). Tile-coherent blocks skip most clusters."""
+    at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
+    idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+    any_alive = jnp.max(alive_ref[:]) > 0
+    bat_ref[:] = jnp.full(bat_ref.shape, BIG, jnp.float32)
+    bidx_ref[:] = jnp.zeros(bidx_ref.shape, jnp.int32)
+
+    @pl.when(any_alive)
+    def _run():
+        d0, d1, d2 = d0_ref[:], d1_ref[:], d2_ref[:]
+        o0, o1, o2 = o0_ref[:], o1_ref[:], o2_ref[:]
+        od = o0 * d0 + o1 * d1 + o2 * d2
+        oq = o0 * o0 + o1 * o1 + o2 * o2
+        a = d0 * d0 + d1 * d1 + d2 * d2
+        inv_a = 1.0 / a
+        alive_v = alive_ref[:] > 0
+
+        def cluster_body(ci, _):
+            # bounding-sphere cull for the whole block
+            ccx = clus_ref[0, ci]
+            ccy = clus_ref[1, ci]
+            ccz = clus_ref[2, ci]
+            cr2 = clus_ref[3, ci]
+            fx, fy, fz = ccx - o0, ccy - o1, ccz - o2
+            fb = fx * d0 + fy * d1 + fz * d2
+            fq = fx * fx + fy * fy + fz * fz
+            perp2 = fq - fb * fb * inv_a
+            may_hit = ((perp2 <= cr2) | (fq <= cr2)) \
+                & (fb >= -jnp.sqrt(cr2 * a)) & alive_v
+            hit_any = jnp.max(may_hit.astype(jnp.float32)) > 0
+
+            @pl.when(hit_any)
+            def _cluster():
+                best_at = bat_ref[:]
+                best_idx = bidx_ref[:]
+                base = ci * CLUSTER
+                for j in range(CLUSTER):
+                    s = base + j
+                    cx = sph_ref[0, s]
+                    cy = sph_ref[1, s]
+                    cz = sph_ref[2, s]
+                    a_s = sph_ref[3, s]
+                    bp = cx * d0 + cy * d1 + cz * d2 - od
+                    g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
+                    disc = g + bp * bp * inv_a
+                    sq = jnp.sqrt(a * disc)
+                    inside_pos = (g >= 0.0) & (bp >= 0.0)
+                    at = bp + jnp.where(inside_pos, sq, -sq)
+                    ok = (disc >= 0.0) & (at >= 0.0)
+                    cand = jnp.where(ok, at, BIG)
+                    upd = cand < best_at
+                    best_at = jnp.where(upd, cand, best_at)
+                    best_idx = jnp.where(upd, s, best_idx)
+                bat_ref[:] = best_at
+                bidx_ref[:] = best_idx
+
+            return 0
+
+        jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+        at_ref[:] = bat_ref[:]
+        idx_ref[:] = bidx_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_clustered_pallas(tables, org, d, alive=None, interpret=False):
+    """Clustered nearest-hit; same contract as intersect_spheres_pallas but
+    idx refers to the clustered ordering — map through tables[2] (perm)."""
+    sph, clus, perm = tables
+    n = org.shape[0]
+    assert n % RAY_BLOCK == 0, n
+    n_clusters = clus.shape[1]
+    rows = n // LANES
+    grid = n // RAY_BLOCK
+    block_rows = RAY_BLOCK // LANES
+
+    def ray_comp(x):
+        return x.reshape(rows, LANES)
+
+    if alive is None:
+        alive_rows = jnp.ones((rows, LANES), jnp.float32)
+    else:
+        alive_rows = ray_comp(alive.astype(jnp.float32))
+    ray_inputs = [ray_comp(d[:, 0]), ray_comp(d[:, 1]), ray_comp(d[:, 2]),
+                  ray_comp(org[:, 0]), ray_comp(org[:, 1]), ray_comp(org[:, 2])]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    at, idx = pl.pallas_call(
+        functools.partial(_kernel_clustered, n_clusters=n_clusters),
+        grid=(grid,),
+        in_specs=[smem, smem] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((block_rows, LANES), jnp.float32),
+                        pltpu.VMEM((block_rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(sph, clus, alive_rows, *ray_inputs)
+    at = at.reshape(n)
+    idx = perm[idx.reshape(n)]
+    a = jnp.sum(d * d, axis=1)
+    return at, idx, at < BIG, 1.0 / a
+
+
 def pack_spheres_pallas(center, radius, valid):
     """(4, S) SMEM sphere table [cx, cy, cz, A]; padding gets A = -BIG so it
     can never hit."""

@@ -50,6 +50,10 @@ class Scene(NamedTuple):
     # triangles: a + u*e1 + v*e2 parameterization (triangle.ml:74-98)
     tri_pack: jnp.ndarray = None  # (T, 27): a(3) e1(3) e2(3) tex(6) mat(12)
     tri_valid: jnp.ndarray = None  # (T,) bool
+    # clustered sphere tables for the Pallas kernels (built host-side)
+    clus_sph: jnp.ndarray = None  # (4, K*16) [cx, cy, cz, r^2-|c|^2]
+    clus_bounds: jnp.ndarray = None  # (4, K) bounding spheres [c, R^2]
+    clus_perm: jnp.ndarray = None  # (K*16,) -> original sphere index
 
     @property
     def count(self) -> int:
@@ -231,6 +235,7 @@ class SceneBuilder:
                 tv[i] = True
             tri_pack = jnp.asarray(tp, dtype)
             tri_valid = jnp.asarray(tv)
+        clus = None  # clustered tables deferred (see integrator note)
         return SphereScene(
             center=jnp.asarray(center, dtype),
             radius=jnp.asarray(radius, dtype),
@@ -246,6 +251,9 @@ class SceneBuilder:
             shade_pack=jnp.asarray(pack, dtype),
             tri_pack=tri_pack,
             tri_valid=tri_valid,
+            clus_sph=None if clus is None else clus[0],
+            clus_bounds=None if clus is None else clus[1],
+            clus_perm=None if clus is None else clus[2],
         )
 
 
