@@ -1,0 +1,35 @@
+"""Golden-image regression tests: committed CPU renders (shirley in float64,
+cornell PPM in float32) pin the whole pipeline's output across refactors.
+Bounds are set by the measured f32-vs-f64 divergence (BASELINE.md)."""
+
+import os
+
+import numpy as np
+
+_SCENES = os.path.join(os.path.dirname(__file__), "..", "scenes")
+
+
+def test_shirley_matches_f64_golden():
+    from pathtracer_tpu.models import shirley
+    from pathtracer_tpu.integrator import make_render_fn
+
+    g = np.load(os.path.join(_SCENES, "golden_shirley_160x80_spp4.npz"))
+    scene, cam, bg = shirley.build(2.0)
+    render = make_render_fn(cam, bg, 160, 80, 4, 8, backend="xla")
+    img, segs = render(scene)
+    rmse = float(np.sqrt(np.mean((np.asarray(img, np.float64) - g["img"]) ** 2)))
+    assert rmse < 2.5e-3, rmse  # f32 vs f64 budget at spp=4
+    # segment counts may differ by a handful of boundary samples
+    assert abs(int(segs) - int(g["segments"])) < 100
+
+
+def test_cornell_ppm_matches_golden():
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    g = np.load(os.path.join(_SCENES, "golden_cornell_48x48_1iter.npz"))
+    scene, cam, lights = cornell.build(1.0)
+    rend = PPMRenderer(scene, cam, lights, 48, 48, iterations=1,
+                       photon_count=1200, max_bounces=3, verbose=False)
+    img = rend.render()
+    np.testing.assert_allclose(img, g["img"], rtol=1e-5, atol=1e-7)
