@@ -236,15 +236,18 @@ def build_photon_grid(pos, valid, radius, m=1 << 17):
 def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
                   backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
-                  mesh=None):
-    """Build eye_pass(offset_base, radius, grid+deposits, k_cap) -> (H,W,3)
-    contribution of one PPM iteration (already scaled by 1/photon_count)."""
+                  mesh=None, band_rows: int = 64):
+    """Build eye_pass(offset_base, radius, grid+deposits, row0) -> one
+    `band_rows`-row band of a PPM iteration's contribution (scaled by
+    1/photon_count). The driver loops bands as SEPARATE device calls — one
+    monolithic eye pass can run for minutes on photon-dense iterations and
+    the tunneled TPU kills long calls."""
     sampler = Sampler(2 + max_bounces)
-    n_pix = width * height
+    n_pix = width * band_rows
     lanes = -(-n_pix // 1024) * 1024
     lane_ids = np.arange(lanes)
     xs = (lane_ids % width).astype(np.float32)
-    ys = (lane_ids // width).astype(np.float32)
+    ys_local = (lane_ids // width).astype(np.float32)
     hit_setup = make_intersector(scene, backend, mesh=mesh)
     inv_pc = np.float32(1.0 / photon_count)
 
@@ -319,19 +322,23 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
             (rsh(point), rsh(normal), rsh(active)))
         return acc.reshape(-1, 3)[:n]
 
-    def eye_pass(offset_base, radius, grid):
-        offs = (jnp.asarray(lane_ids, jnp.uint32)
-                + offset_base.astype(jnp.uint32))
+    def eye_pass(offset_base, radius, grid, row0):
+        # lane's global pixel = (row0 + lane//W) * W + lane%W
+        pix = (row0.astype(jnp.uint32) * np.uint32(width)
+               + jnp.asarray(lane_ids, jnp.uint32))
+        offs = pix + offset_base.astype(jnp.uint32)
         dx = sampler.get(offs, 0)
         dy = sampler.get(offs, 1)
         # NOTE: cy is NOT flipped here; the reference flips y at write time
         # (ppm.ml:311-315,383-388)
+        ys = row0.astype(jnp.float32) + jnp.asarray(ys_local)
         cx = (jnp.asarray(xs) + dx) * np.float32(1.0 / width)
-        cy = (jnp.asarray(ys) + dy) * np.float32(1.0 / height)
+        cy = (ys + dy) * np.float32(1.0 / height)
         d = camera.ray_dirs(cx, cy, dtype)
         org = jnp.zeros_like(d)
         beta = jnp.ones_like(d)
-        alive = jnp.asarray(lane_ids < n_pix)
+        alive = jnp.asarray(lane_ids < n_pix) & (
+            (row0 + jnp.asarray(lane_ids // width, jnp.int32)) < height)
         result = jnp.zeros_like(d)
 
         def bounce_body(carry, b):
@@ -381,8 +388,7 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         (org, d, beta, alive, result), _ = jax.lax.scan(
             bounce_body, (org, d, beta, alive, result),
             jnp.arange(max_bounces, dtype=jnp.int32))
-        img = (result * inv_pc)[:n_pix].reshape(height, width, 3)
-        return img[::-1]  # reference writes row (height-1-y)
+        return (result * inv_pc)[:n_pix].reshape(band_rows, width, 3)
 
     return eye_pass
 
@@ -446,10 +452,12 @@ class PPMRenderer:
             self.scene, self.lights, self.photon_count, self.max_bounces,
             self.backend, mesh=self.mesh)
         dep_lanes = (-(-total // 1024) * 1024) * self.max_bounces
+        band_rows = min(64, self.height)
+        n_bands = -(-self.height // band_rows)
         eye_pass = make_eye_pass(self.scene, self.camera, self.width,
                                  self.height, self.max_bounces,
                                  self.photon_count, dep_lanes, self.backend,
-                                 mesh=self.mesh)
+                                 mesh=self.mesh, band_rows=band_rows)
         eye_jit = {}
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
@@ -475,9 +483,14 @@ class PPMRenderer:
             if "fn" not in eye_jit:
                 eye_jit["fn"] = jax.jit(eye_pass)
             grid = (order, start, count, pos, nrm, flux, ok)
-            img = eye_jit["fn"](
-                jnp.uint32(i * self.width * self.height), jnp.float32(r), grid)
-            img_sum += np.asarray(img, np.float64)
+            bands = []
+            for bi in range(n_bands):
+                band = eye_jit["fn"](
+                    jnp.uint32(i * self.width * self.height), jnp.float32(r),
+                    grid, jnp.int32(bi * band_rows))
+                bands.append(np.asarray(band, np.float64))
+            img = np.concatenate(bands)[:self.height]
+            img_sum += img[::-1]  # reference writes row (height-1-y)
             if output is not None:
                 from .io.png import write_png
                 avg = (img_sum / (i + 1)) ** (1.0 / 2.2)  # PPM gamma 1/2.2
