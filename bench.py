@@ -19,6 +19,19 @@ import jax.numpy as jnp
 
 
 def main():
+    for attempt in range(3):
+        try:
+            _run()
+            return
+        except Exception as e:  # the tunneled TPU can wedge after a killed run
+            if attempt == 2:
+                raise
+            print(f"# attempt {attempt} failed ({type(e).__name__}); "
+                  f"waiting for the TPU to recover", file=sys.stderr)
+            time.sleep(45)
+
+
+def _run():
     width, height, spp, bounces = 600, 300, 32, 8
     repeats = 3
 
