@@ -163,6 +163,10 @@ def run_ganesha(argv=None) -> None:
     print(f"#triangles = {mesh.n_tris}")
     print(f"tree depth = {mesh.depth}")
     print(f"build time = {build_ms:.3f} ms")
+    bvh_bytes = (mesh.meta_np.nbytes + 2 * mesh.meta_np.shape[0] * 12
+                 + 3 * mesh.n_tris * 12)
+    print(f"bvh bytes = {bvh_bytes}  "
+          f"(the reference prints Obj.reachable_words here)")
     hist = mesh.leaf_histogram()
     print("leaf lengths =")
     print(" ".join(f"((size {s})(count {c}))" for s, c in hist.items()))
