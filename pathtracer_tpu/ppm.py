@@ -410,6 +410,7 @@ class PPMRenderer:
     verbose: bool = True
     mesh: object = None
     bbox_override: tuple = None
+    devices: list = None  # eye-pass bands fan out across these (default: all)
 
     def __post_init__(self):
         if self.backend is None:
@@ -483,13 +484,31 @@ class PPMRenderer:
             if "fn" not in eye_jit:
                 eye_jit["fn"] = jax.jit(eye_pass)
             grid = (order, start, count, pos, nrm, flux, ok)
-            bands = []
+            # fan the independent bands out across devices: the photon map is
+            # replicated (device_put broadcast — the reference's shared
+            # immutable tree), bands round-robin, results stitched on host.
+            # This is the domainslib tile fan-out (integrator.ml:141-151)
+            # for the photon mapper.
+            devices = self.devices or jax.devices()
+            if len(devices) > 1:
+                grids = [jax.device_put(grid, dev) for dev in devices]
+            else:
+                grids = [grid]
+            futures = []
             for bi in range(n_bands):
-                band = eye_jit["fn"](
-                    jnp.uint32(i * self.width * self.height), jnp.float32(r),
-                    grid, jnp.int32(bi * band_rows))
-                bands.append(np.asarray(band, np.float64))
-            img = np.concatenate(bands)[:self.height]
+                dev = bi % len(grids)
+                g_dev = grids[dev]
+                base = jax.device_put(
+                    jnp.uint32(i * self.width * self.height), devices[dev])                     if len(grids) > 1 else jnp.uint32(
+                        i * self.width * self.height)
+                futures.append(eye_jit["fn"](
+                    base, jax.device_put(jnp.float32(r), devices[dev])
+                    if len(grids) > 1 else jnp.float32(r),
+                    g_dev, jax.device_put(jnp.int32(bi * band_rows),
+                                          devices[dev])
+                    if len(grids) > 1 else jnp.int32(bi * band_rows)))
+            img = np.concatenate([np.asarray(b, np.float64)
+                                  for b in futures])[:self.height]
             img_sum += img[::-1]  # reference writes row (height-1-y)
             if output is not None:
                 from .io.png import write_png

@@ -43,3 +43,19 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, err_msg=f"dp={dp} sp={sp}")
         assert int(segs) == int(want_segs), (dp, sp)
+
+
+def test_ppm_multi_device_matches_single():
+    """PPM eye-pass bands fan out across devices; results are bit-identical
+    to single-device (the LDS sampler is positional, so placement is
+    invisible — the same property the reference's tile scheduler relies on)."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=1, photon_count=1200, max_bounces=3, verbose=False)
+    a = PPMRenderer(scene, cam, lights, 96, 96,
+                    devices=jax.devices()[:1], **kw).render()
+    b = PPMRenderer(scene, cam, lights, 96, 96,
+                    devices=jax.devices(), **kw).render()
+    np.testing.assert_array_equal(a, b)
