@@ -20,3 +20,28 @@ Architecture (inverted from the reference's closure-per-ray recursive design):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: renders compile once per machine,
+    not once per process (ganesha's PPM graph alone is minutes of compile).
+    Override the location with PATHTRACER_TPU_JAX_CACHE; set it empty to
+    disable."""
+    import os
+
+    loc = os.environ.get("PATHTRACER_TPU_JAX_CACHE")
+    if loc == "":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            d = loc or os.path.expanduser("~/.cache/pathtracer_tpu/jax")
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
