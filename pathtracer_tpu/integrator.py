@@ -278,26 +278,26 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
     bg_mode, bg_colors = background.pallas_params
     bg_colors = jnp.asarray(bg_colors, jnp.float32)
 
-    state = jnp.concatenate([org.T, d.T, org.T * 0.0 + 1.0,
-                             alive[None].astype(jnp.float32)])  # (10, N)
-    rad_t = jnp.zeros((3, np_tot), jnp.float32)
+    rows = np_tot // sk.LANES
+    state = jnp.concatenate(
+        [org.T, d.T, org.T * 0.0 + 1.0,
+         alive[None].astype(jnp.float32)]).reshape(10, rows, sk.LANES)
+    off_rows = offset.reshape(rows, sk.LANES)
+    rad_t = jnp.zeros((3, rows, sk.LANES), jnp.float32)
     segments = jnp.zeros((), jnp.int32)
     hi = np.asarray(sampler.hi)
     lo = np.asarray(sampler.lo)
 
     for bounce in range(max_bounces):
-        alive_b = state[9] > 0.0
-        segments = segments + jnp.sum(alive_b.astype(jnp.int32))
-        at, idx, hit, inv_a = sk.intersect_spheres_pallas(
-            tables, state[0:3].T, state[3:6].T, alive_b)
-        pk_cols = pack_t[:, idx]  # (16, N) gather
+        segments = segments + jnp.sum((state[9] > 0.0).astype(jnp.int32))
+        at, idx = sk.intersect_state_pallas(tables, state)
+        pk_rows = pack_t[:, idx]  # (16, rows, LANES) gather
         du, dv = 2 + 2 * bounce, 3 + 2 * bounce
         limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
-        state, rad_add = shk.shade_pallas(
-            state, pk_cols, offset, (hit & alive_b).astype(jnp.float32),
-            inv_a, limbs, bg_colors, bg_mode=bg_mode)
+        state, rad_add = shk.shade_pallas(state, pk_rows, off_rows, at,
+                                          limbs, bg_colors, bg_mode=bg_mode)
         rad_t = rad_t + rad_add
-    rad = rad_t.T
+    rad = rad_t.reshape(3, np_tot).T
     if n_pad:
         rad = rad[:n]
     return rad, segments

@@ -85,7 +85,7 @@ def _lds(offset_u32, hi, lo):
     return jnp.minimum(s, np.float32(1.0 - 2.0 ** -24))
 
 
-def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, hit_ref, inva_ref,
+def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
             out_st_ref, rad_ref, *, bg_mode):
     alive = st_ref[9]
     any_alive = jnp.max(alive) > 0.0
@@ -99,9 +99,9 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, hit_ref, inva_ref,
         d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
         a0, a1, a2 = st_ref[6], st_ref[7], st_ref[8]
         alive = st_ref[9] > 0.0
-        hit = (hit_ref[:] > 0.0) & alive
-        inv_a = inva_ref[:]
+        hit = (at_ref_in[:] < BIG) & alive
         a_q = d0 * d0 + d1 * d1 + d2 * d2
+        inv_a = 1.0 / a_q
 
         cx, cy, cz, rad_s = pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3]
         mat_k, tex_k = pk_ref[4], pk_ref[5]
@@ -266,41 +266,34 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, hit_ref, inva_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bg_mode", "interpret"))
-def shade_pallas(state, pk_cols, offset, hit, inv_a, limbs, bg_colors,
+def shade_pallas(state_rows, pk_rows, off_rows, at_rows, limbs, bg_colors,
                  bg_mode=1, interpret=False):
-    """Run the shading stage for one bounce.
-
-    state: (10, N) f32 [org3, dir3, attn3, alive]; pk_cols: (16, N) gathered
-    material columns; offset: (N,) uint32; hit: (N,) f32; inv_a: (N,) f32;
-    limbs: (2, 2) uint32 [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3) f32.
-    Returns (new_state (10, N), rad_add (3, N)).
+    """Run the shading stage for one bounce, all in (lead, rows, LANES)
+    layout: state_rows (10,...) [org3, dir3, attn3, alive]; pk_rows (16,...)
+    gathered material columns; off_rows (rows, LANES) uint32 offsets;
+    at_rows (rows, LANES) the intersection kernel's a*t key (BIG = miss);
+    limbs: (2, 2) uint32 [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3).
+    Returns (new_state (10, rows, LANES), rad_add (3, rows, LANES)).
     """
-    n = state.shape[1]
-    assert n % RAY_BLOCK == 0, n
-    rows = n // LANES
+    _, rows, lanes = state_rows.shape
+    assert lanes == LANES and (rows * LANES) % RAY_BLOCK == 0
     block_rows = RAY_BLOCK // LANES
 
     def spec3(lead):
         return pl.BlockSpec((lead, block_rows, LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    rsh = lambda x, lead: x.reshape(lead, rows, LANES)
-    st = rsh(state, 10)
-    pk = rsh(pk_cols, 16)
-    off = offset.reshape(rows, LANES)
-    hit2 = hit.reshape(rows, LANES)
-    inva2 = inv_a.reshape(rows, LANES)
     lane_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     out_st, rad = pl.pallas_call(
         functools.partial(_kernel, bg_mode=bg_mode),
-        grid=(n // RAY_BLOCK,),
+        grid=(rows // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  spec3(10), spec3(16), lane_spec, lane_spec, lane_spec],
+                  spec3(10), spec3(16), lane_spec, lane_spec],
         out_specs=(spec3(10), spec3(3)),
         out_shape=(jax.ShapeDtypeStruct((10, rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32)),
         interpret=interpret,
-    )(limbs, bg_colors, st, pk, off, hit2, inva2)
-    return out_st.reshape(10, n), rad.reshape(3, n)
+    )(limbs, bg_colors, state_rows, pk_rows, off_rows, at_rows)
+    return out_st, rad

@@ -311,3 +311,80 @@ def intersect_spheres_pallas(tables, org, d, alive=None, interpret=False):
     idx = idx.reshape(n)
     a = jnp.sum(d * d, axis=1)
     return at, idx, at < BIG, 1.0 / a
+
+
+def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres):
+    """State-layout variant: reads rays straight from the (10, rows, LANES)
+    wavefront state (rows 0-2 origin, 3-5 direction, 9 alive) — no
+    per-bounce transposes or component copies in XLA."""
+    at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
+    idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+    any_alive = jnp.max(st_ref[9]) > 0.0
+
+    @pl.when(any_alive)
+    def _run():
+        o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
+        d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
+        od = o0 * d0 + o1 * d1 + o2 * d2
+        oq = o0 * o0 + o1 * o1 + o2 * o2
+        a = d0 * d0 + d1 * d1 + d2 * d2
+        inv_a = 1.0 / a
+
+        unroll = 8
+
+        def one(s, best_at, best_idx):
+            cx = sph_ref[0, s]
+            cy = sph_ref[1, s]
+            cz = sph_ref[2, s]
+            a_s = sph_ref[3, s]
+            bp = cx * d0 + cy * d1 + cz * d2 - od
+            g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
+            disc = g + bp * bp * inv_a
+            sq = jnp.sqrt(a * disc)
+            inside_pos = (g >= 0.0) & (bp >= 0.0)
+            at = bp + jnp.where(inside_pos, sq, -sq)
+            ok = (disc >= 0.0) & (at >= 0.0)
+            cand = jnp.where(ok, at, BIG)
+            upd = cand < best_at
+            best_at = jnp.where(upd, cand, best_at)
+            best_idx = jnp.where(upd, s, best_idx)
+            return best_at, best_idx
+
+        def body(i, carry):
+            best_at, best_idx = carry
+            base = i * unroll
+            for k in range(unroll):
+                best_at, best_idx = one(base + k, best_at, best_idx)
+            return best_at, best_idx
+
+        init = (jnp.full(o0.shape, BIG, jnp.float32),
+                jnp.zeros(o0.shape, jnp.int32))
+        best_at, best_idx = jax.lax.fori_loop(0, n_spheres // unroll, body,
+                                              init)
+        at_ref[:] = best_at
+        idx_ref[:] = best_idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_state_pallas(sph_table, state_rows, interpret=False):
+    """Nearest-hit over the (10, rows, LANES) wavefront state.
+    Returns (at (rows, LANES), idx (rows, LANES) int32)."""
+    _, rows, lanes = state_rows.shape
+    assert lanes == LANES and (rows * LANES) % RAY_BLOCK == 0
+    n_spheres = sph_table.shape[1]
+    block_rows = RAY_BLOCK // LANES
+    grid = rows // block_rows
+
+    st_spec = pl.BlockSpec((10, block_rows, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_state, n_spheres=n_spheres),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), st_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+        interpret=interpret,
+    )(sph_table, state_rows)
