@@ -294,6 +294,7 @@ def shade_pallas(state_rows, pk_rows, off_rows, at_rows, limbs, bg_colors,
         out_specs=(spec3(10), spec3(3)),
         out_shape=(jax.ShapeDtypeStruct((10, rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32)),
+        input_output_aliases={2: 0},  # update the state in place
         interpret=interpret,
     )(limbs, bg_colors, state_rows, pk_rows, off_rows, at_rows)
     return out_st, rad

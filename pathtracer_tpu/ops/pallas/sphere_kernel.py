@@ -327,8 +327,10 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres):
         d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
         od = o0 * d0 + o1 * d1 + o2 * d2
         oq = o0 * o0 + o1 * o1 + o2 * o2
-        a = d0 * d0 + d1 * d1 + d2 * d2
-        inv_a = 1.0 / a
+        # the path tracer's directions are unit by construction (camera
+        # normalize, local mirror/refract/hemisphere all preserve norm), so
+        # a = |d|^2 = 1 within one ulp: the selection key drops the /a and
+        # *a terms (the stable t in the shade kernel keeps exact a handling)
 
         unroll = 8
 
@@ -339,8 +341,8 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres):
             a_s = sph_ref[3, s]
             bp = cx * d0 + cy * d1 + cz * d2 - od
             g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
-            disc = g + bp * bp * inv_a
-            sq = jnp.sqrt(a * disc)
+            disc = g + bp * bp
+            sq = jnp.sqrt(disc)
             inside_pos = (g >= 0.0) & (bp >= 0.0)
             at = bp + jnp.where(inside_pos, sq, -sq)
             ok = (disc >= 0.0) & (at >= 0.0)
