@@ -131,17 +131,24 @@ def _emit_rays(lights, counts, starts, lane_ids, u, v, dtype):
 
 
 def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
-                     backend: str, dtype=jnp.float32, mesh=None):
-    """Build trace_photons(offset_base, radius is implicit) ->
-    (pos, normal, flux, valid) deposit arrays of shape (lanes*max_bounces, .)."""
+                     backend: str, dtype=jnp.float32, mesh=None,
+                     lanes_per_call: int = 131072):
+    """Build trace_photons(offset_base) -> (pos, normal, flux, valid)
+    deposit arrays of shape (lanes*max_bounces, .). Large photon budgets are
+    traced in host-level chunks of lanes_per_call lanes so no single device
+    call outlives the tunneled TPU's tolerance (same guard as the eye
+    bands); sampling is positional so chunking is invisible."""
     sampler = Sampler(2 + 2 * max_bounces)
     counts, starts, total = light_photon_counts(lights, photon_count)
     lanes = -(-total // 1024) * 1024
-    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    chunk = min(lanes, lanes_per_call)
+    n_chunks = -(-lanes // chunk)
+    local_ids = jnp.arange(chunk, dtype=jnp.int32)
     hit_setup = make_intersector(scene, backend, mesh=mesh)
 
     @jax.jit
-    def trace_photons(offset_base):
+    def trace_chunk(offset_base, lane_base):
+        lane_ids = local_ids + lane_base
         offs = lane_ids.astype(jnp.uint32) + offset_base.astype(jnp.uint32)
         u0 = sampler.get(offs, 0)
         v0 = sampler.get(offs, 1)
@@ -204,7 +211,18 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         return (dep_pos.reshape(-1, 3), dep_nrm.reshape(-1, 3),
                 dep_flux.reshape(-1, 3), dep_ok.reshape(-1))
 
-    return trace_photons, total
+    dep_rows = n_chunks * chunk * max_bounces
+    if n_chunks == 1:
+        return (lambda offset_base: trace_chunk(offset_base, jnp.int32(0)),
+                total, dep_rows)
+
+    def trace_photons(offset_base):
+        outs = [trace_chunk(offset_base, jnp.int32(ci * chunk))
+                for ci in range(n_chunks)]
+        return tuple(jnp.concatenate([o[k] for o in outs])
+                     for k in range(4))
+
+    return trace_photons, total, dep_rows
 
 
 # --- hash grid ---
@@ -309,6 +327,7 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     def gather(point, normal, active, radius, grid, chunk=16384):
         order, start, count, pos, nrm, flux, dep_valid = grid
         n = point.shape[0]
+        chunk = min(chunk, -(-n // 1024) * 1024)  # never pad past the band
         pad = (-n) % chunk
         if pad:
             point = jnp.concatenate([point, jnp.zeros((pad, 3))])
@@ -449,17 +468,25 @@ class PPMRenderer:
             print(f"#photons/iter = {self.photon_count}")
             print(f"#iterations = {self.iterations}")
             print("-----", flush=True)
-        trace_photons, total = make_photon_pass(
+        trace_photons, total, dep_lanes = make_photon_pass(
             self.scene, self.lights, self.photon_count, self.max_bounces,
             self.backend, mesh=self.mesh)
-        dep_lanes = (-(-total // 1024) * 1024) * self.max_bounces
-        band_rows = min(64, self.height)
-        n_bands = -(-self.height // band_rows)
-        eye_pass = make_eye_pass(self.scene, self.camera, self.width,
-                                 self.height, self.max_bounces,
-                                 self.photon_count, dep_lanes, self.backend,
-                                 mesh=self.mesh, band_rows=band_rows)
-        eye_jit = {}
+        # Per-band device-call duration scales with lanes x the worst
+        # lane's gather length (27 x max bucket load). Band height is chosen
+        # per iteration from the actual photon grid so dense early-iteration
+        # maps can't push a call past the tunneled TPU's tolerance;
+        # power-of-two quantization bounds recompiles (and the persistent
+        # cache keeps them across runs).
+        lane_iter_budget = 2.0e8
+        eye_passes = {}
+
+        def get_eye_pass(band_rows):
+            if band_rows not in eye_passes:
+                eye_passes[band_rows] = jax.jit(make_eye_pass(
+                    self.scene, self.camera, self.width, self.height,
+                    self.max_bounces, self.photon_count, dep_lanes,
+                    self.backend, mesh=self.mesh, band_rows=band_rows))
+            return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
         if checkpoint_path is not None and os.path.exists(checkpoint_path):
@@ -481,8 +508,14 @@ class PPMRenderer:
             if self.verbose:
                 print(f"  photon map length = {n_photons}", flush=True)
             order, start, count = build_photon_grid(pos, ok, jnp.float32(r))
-            if "fn" not in eye_jit:
-                eye_jit["fn"] = jax.jit(eye_pass)
+            max_bucket = max(1, int(count.max()))
+            rows_fit = lane_iter_budget / (27.0 * max_bucket * self.width)
+            band_rows = 4
+            while band_rows * 2 <= min(64, self.height, rows_fit):
+                band_rows *= 2
+            band_rows = min(band_rows, self.height)
+            n_bands = -(-self.height // band_rows)
+            eye_fn = get_eye_pass(band_rows)
             grid = (order, start, count, pos, nrm, flux, ok)
             # fan the independent bands out across devices: the photon map is
             # replicated (device_put broadcast — the reference's shared
@@ -501,7 +534,7 @@ class PPMRenderer:
                 base = jax.device_put(
                     jnp.uint32(i * self.width * self.height), devices[dev])                     if len(grids) > 1 else jnp.uint32(
                         i * self.width * self.height)
-                futures.append(eye_jit["fn"](
+                futures.append(eye_fn(
                     base, jax.device_put(jnp.float32(r), devices[dev])
                     if len(grids) > 1 else jnp.float32(r),
                     g_dev, jax.device_put(jnp.int32(bi * band_rows),
