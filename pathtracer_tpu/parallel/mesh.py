@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from .. import film
 from ..integrator import make_pass_fn
@@ -45,8 +48,12 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
     across `mesh` with passes sharded over "dp" and rows over "sp"."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
-    assert spp % dp == 0, f"spp={spp} must divide over dp={dp}"
-    assert height % sp == 0, f"height={height} must divide over sp={sp}"
+    # Pad non-divisible work instead of refusing it (the reference's tile
+    # split handles ragged edges the same way, tile.ml:28-39): passes are
+    # padded with masked-out ids, rows with clamped duplicates sliced off
+    # after the stitch.
+    spp_pad = -(-spp // dp) * dp
+    h_pad = -(-height // sp) * sp
     pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
                            dtype, intersect_fn, dynamic_rows=True)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
@@ -56,8 +63,9 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
              out_specs=(P("sp"), P()))
     def partial_sums(scene, passes, row_ids):
         def body(acc, p):
-            s, segs = pass_fn(scene, p, row_ids)
-            return acc + s, segs
+            live = (p < spp).astype(dtype)
+            s, segs = pass_fn(scene, jnp.minimum(p, spp - 1), row_ids)
+            return acc + s * live, segs * (p < spp)
 
         rows = row_ids.shape[0]
         init = jnp.zeros((rows, width, 3), dtype)
@@ -70,9 +78,10 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
 
     @jax.jit
     def render(scene):
-        passes = jnp.arange(spp, dtype=jnp.int32)
-        row_ids = jnp.arange(height, dtype=jnp.int32)
+        passes = jnp.arange(spp_pad, dtype=jnp.int32)
+        row_ids = jnp.minimum(jnp.arange(h_pad, dtype=jnp.int32), height - 1)
         sums, segs = partial_sums(scene, passes, row_ids)
+        sums = sums[:height]
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, segs
 

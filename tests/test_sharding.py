@@ -45,6 +45,26 @@ def test_sharded_matches_single_device():
         assert int(segs) == int(want_segs), (dp, sp)
 
 
+def test_sharded_pads_non_divisible_shapes():
+    """Odd height/spp that don't divide the mesh axes are padded, not
+    rejected: padded passes are masked out of the film and padded rows are
+    sliced off, so the result still matches single-device exactly."""
+    cam, scene, bg = _setup()
+    W, H, SPP, B = 32, 13, 5, 4  # 13 % sp != 0, 5 % dp != 0 below
+    ref_render = make_render_fn(cam, bg, W, H, SPP, B)
+    want, want_segs = ref_render(scene)
+
+    for dp, sp in [(4, 2), (2, 4), (3, 2)]:
+        mesh = make_mesh(dp, sp)
+        render = make_sharded_render_fn(cam, bg, W, H, SPP, B, mesh)
+        got, segs = render(scene)
+        assert got.shape == (H, W, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=f"dp={dp} sp={sp}")
+        # padded rows retrace real rays, so segs >= the unpadded count
+        assert int(segs) >= int(want_segs), (dp, sp)
+
+
 def test_ppm_multi_device_matches_single():
     """PPM eye-pass bands fan out across devices; results are bit-identical
     to single-device (the LDS sampler is positional, so placement is
