@@ -187,13 +187,14 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
 
     if backend is None:
         backend = "pallas2" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas2":
+    if backend.startswith("pallas2"):
         usable = (intersect_fn is None and scene.tri_count == 0
                   and mesh is None
                   and getattr(background, "pallas_params", None) is not None)
         if usable:
             return _trace_pallas2(scene, sampler, org, d, offset, max_bounces,
-                                  background, alive0)
+                                  background, alive0,
+                                  interpret=(backend == "pallas2_interpret"))
         backend = "pallas"
 
     n = org.shape[0]
@@ -246,13 +247,32 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     return rad, segments
 
 
+DEFAULT_COMPACT_AT = (2, 4)
+
+
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
-                   alive0):
+                   alive0, compact_at=None, interpret=False):
     """Fully fused two-kernel bounce loop (sphere scenes only): Pallas
     intersection + Pallas shading, state kept transposed (10, N) across
-    bounces so each bounce reads/writes it exactly once."""
+    bounces so each bounce reads/writes it exactly once.
+
+    Lane compaction (the wavefront-architecture half of the reference's
+    native-tier throughput story): at the bounces in `compact_at`, dead
+    lanes' accumulated radiance is flushed back to original-order pixels
+    (cheap gathers via the closed-form dest map — the restore direction
+    needs no scatter) and the live lanes are stable-partitioned to the
+    front of the wavefront so the intersection kernel's block early-exit
+    skips the dead tail. Measured lane occupancy collapses to ~29% by
+    bounce 2 while 87% of blocks stay live (tools/measure_occupancy.py);
+    compaction converts that gap into skipped blocks.
+    """
+    from .ops.pallas import compact_kernel as ck
     from .ops.pallas import sphere_kernel as sk
     from .ops.pallas import shade_kernel as shk
+
+    if compact_at is None:
+        compact_at = DEFAULT_COMPACT_AT
+    compact_at = frozenset(b for b in compact_at if 0 < b < max_bounces)
 
     n = org.shape[0]
     n_pad = (-n) % sk.RAY_BLOCK
@@ -288,16 +308,90 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
     hi = np.asarray(sampler.hi)
     lo = np.asarray(sampler.lo)
 
-    for bounce in range(max_bounces):
-        segments = segments + jnp.sum((state[9] > 0.0).astype(jnp.int32))
-        at, idx = sk.intersect_state_pallas(tables, state)
-        pk_rows = pack_t[:, idx]  # (16, rows, LANES) gather
+    flush = jnp.zeros((3, rows, sk.LANES), jnp.float32)
+
+    def bounce_step(state, rad_t, off_rows, bounce):
+        """One intersect+shade bounce at whatever (static) size `state` has."""
+        at, idx = sk.intersect_state_pallas(tables, state, interpret=interpret)
+        pk_rows = pack_t[:, idx]
         du, dv = 2 + 2 * bounce, 3 + 2 * bounce
         limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
-        state, rad_add = shk.shade_pallas(state, pk_rows, off_rows, at,
-                                          limbs, bg_colors, bg_mode=bg_mode)
-        rad_t = rad_t + rad_add
-    rad = rad_t.reshape(3, np_tot).T
+        st2, rad_add = shk.shade_pallas(state, pk_rows, off_rows, at,
+                                        limbs, bg_colors, bg_mode=bg_mode,
+                                        interpret=interpret)
+        return st2, rad_t + rad_add
+
+    c1 = min(compact_at) if compact_at else max_bounces
+    for bounce in range(c1):
+        segments = segments + jnp.sum((state[9] > 0.0).astype(jnp.int32))
+        state, rad_t = bounce_step(state, rad_t, off_rows, bounce)
+
+    if not compact_at:
+        flush = flush + rad_t
+        rad = flush.reshape(3, np_tot).T
+        return (rad[:n] if n_pad else rad), segments
+
+    # --- first compaction: flush all radiance home, pack live lanes ---
+    flush = flush + rad_t  # still in original order (chain empty)
+    alive1 = (state[9] > 0.0).reshape(-1)
+    st_c, off_c, k1 = ck.compact_blocks(state, off_rows, interpret=interpret)
+    state, off_rows, n_live_rows = ck.pack_rows(st_c, off_c, k1)
+    dest1 = ck.dest_map(alive1.reshape(rows, sk.LANES), k1)
+
+    # --- remaining bounces run inside a lax.switch branch whose arrays are
+    # PHYSICALLY the branch's static prefix size: the dead tail is neither
+    # streamed by the kernels nor touched by the pk gather / XLA glue (the
+    # earlier per-bounce dynamic_update_slice variant copied the full state
+    # every bounce and regressed). Occupancy collapses to ~30% of lanes by
+    # bounce 2 (tools/measure_occupancy.py), so the 1/2 branch is typical.
+    def make_buckets():
+        sizes, b = [rows], rows // 2
+        while b * sk.LANES >= sk.RAY_BLOCK and len(sizes) < 3:
+            sizes.append(-(-b // 8) * 8)
+            b //= 2
+        return sizes
+
+    bucket_sizes = make_buckets()
+    rest = sorted(b for b in compact_at if b > c1)
+
+    def range_branch(prefix):
+        def br(state_full, off_full):
+            st = state_full[:, :prefix]
+            off = off_full[:prefix]
+            rad = jnp.zeros((3, prefix, sk.LANES), jnp.float32)
+            segs = jnp.zeros((), jnp.int32)
+            fl = jnp.zeros((3, rows, sk.LANES), jnp.float32)
+            chain2 = []  # local compactions at prefix scale
+
+            def to_orig(x3):
+                x = x3.reshape(3, -1)
+                for ap, dd in reversed(chain2):
+                    x = jnp.where(ap[None, :], x[:, dd], 0.0)
+                x = jnp.where(alive1[None, :], x[:, dest1], 0.0)
+                return x.reshape(3, rows, sk.LANES)
+
+            for bounce in range(c1, max_bounces):
+                if bounce in rest:
+                    fl_new = fl + to_orig(rad)
+                    rad = jnp.zeros_like(rad)
+                    ap = (st[9] > 0.0)
+                    stc, offc, k2 = ck.compact_blocks(st, off,
+                                                      interpret=interpret)
+                    st, off, _ = ck.pack_rows(stc, offc, k2)
+                    chain2.append((ap.reshape(-1), ck.dest_map(ap, k2)))
+                    fl = fl_new
+                segs = segs + jnp.sum((st[9] > 0.0).astype(jnp.int32))
+                st, rad = bounce_step(st, rad, off, bounce)
+            fl = fl + to_orig(rad)
+            return fl, segs
+        return br
+
+    sel = sum((n_live_rows <= b).astype(jnp.int32) for b in bucket_sizes[1:])
+    fl, segs2 = lax.switch(sel, [range_branch(b) for b in bucket_sizes],
+                           state, off_rows)
+    flush = flush + fl
+    segments = segments + segs2
+    rad = flush.reshape(3, np_tot).T
     if n_pad:
         rad = rad[:n]
     return rad, segments

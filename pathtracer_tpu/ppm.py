@@ -280,19 +280,10 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         caustic-dense cell doesn't tax the whole image, and inactive lanes
         cost nothing. Chunking bounds single-device-call duration (the
         tunneled TPU kills calls that run for minutes)."""
-        point, normal, active, radius, order, start, count, pos, nrm, flux,             dep_valid = args
+        (point, normal, active, s_tab, c_tab), (radius, order, pos, nrm,
+                                                flux, dep_valid) = args
         inv_r = 1.0 / radius
         r2 = radius * radius
-        cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
-        cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
-        cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
-        offs27 = jnp.asarray(neighbor_offsets)
-        # per-lane (27,) cell start/count tables
-        hkeys = _cell_hash(cx[:, None] + offs27[None, :, 0],
-                           cy[:, None] + offs27[None, :, 1],
-                           cz[:, None] + offs27[None, :, 2], grid_m)
-        s_tab = start[hkeys]  # (n, 27)
-        c_tab = count[hkeys]
 
         def cond(state):
             ci = state[0]
@@ -325,21 +316,45 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         return acc
 
     def gather(point, normal, active, radius, grid, chunk=16384):
+        """Load-balanced lockstep gather: each chunk's cost is its own worst
+        lane, so lanes are SORTED by their total candidate-photon count
+        before chunking — dense (caustic) lanes share chunks with each other
+        instead of taxing every chunk with one worst lane. 3-6x on
+        photon-dense iterations for pure-XLA effort."""
         order, start, count, pos, nrm, flux, dep_valid = grid
         n = point.shape[0]
+        inv_r = 1.0 / radius
+        cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
+        cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
+        cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
+        offs27 = jnp.asarray(neighbor_offsets)
+        hkeys = _cell_hash(cx[:, None] + offs27[None, :, 0],
+                           cy[:, None] + offs27[None, :, 1],
+                           cz[:, None] + offs27[None, :, 2], grid_m)
+        s_tab = start[hkeys]  # (n, 27)
+        c_tab = jnp.where(active[:, None], count[hkeys], 0)
+        cost = jnp.sum(c_tab, axis=1)
+        perm = jnp.argsort(jnp.where(active, cost, -1))
+        inv_perm = jnp.argsort(perm)
+        point_s, normal_s = point[perm], normal[perm]
+        active_s = active[perm]
+        s_s, c_s = s_tab[perm], c_tab[perm]
+
         chunk = min(chunk, -(-n // 1024) * 1024)  # never pad past the band
         pad = (-n) % chunk
         if pad:
-            point = jnp.concatenate([point, jnp.zeros((pad, 3))])
-            normal = jnp.concatenate([normal, jnp.zeros((pad, 3))])
-            active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
-        nc = point.shape[0] // chunk
+            point_s = jnp.concatenate([point_s, jnp.zeros((pad, 3))])
+            normal_s = jnp.concatenate([normal_s, jnp.zeros((pad, 3))])
+            active_s = jnp.concatenate([active_s, jnp.zeros((pad,), bool)])
+            s_s = jnp.concatenate([s_s, jnp.zeros((pad, 27), s_s.dtype)])
+            c_s = jnp.concatenate([c_s, jnp.zeros((pad, 27), c_s.dtype)])
+        nc = point_s.shape[0] // chunk
         rsh = lambda x: x.reshape(nc, chunk, *x.shape[1:])
         acc = jax.lax.map(
-            lambda a: _gather_chunk(a + (radius, order, start, count, pos,
-                                         nrm, flux, dep_valid)),
-            (rsh(point), rsh(normal), rsh(active)))
-        return acc.reshape(-1, 3)[:n]
+            lambda a: _gather_chunk(
+                (a, (radius, order, pos, nrm, flux, dep_valid))),
+            (rsh(point_s), rsh(normal_s), rsh(active_s), rsh(s_s), rsh(c_s)))
+        return acc.reshape(-1, 3)[:n][inv_perm]
 
     def eye_pass(offset_base, radius, grid, row0):
         # lane's global pixel = (row0 + lane//W) * W + lane%W
@@ -358,10 +373,18 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         beta = jnp.ones_like(d)
         alive = jnp.asarray(lane_ids < n_pix) & (
             (row0 + jnp.asarray(lane_ids // width, jnp.int32)) < height)
-        result = jnp.zeros_like(d)
+        # first-diffuse record: the specular walk only COLLECTS (point,
+        # normal, beta*albedo) at each lane's first diffuse hit — the gather
+        # runs ONCE after the scan over all lanes (each eye path gathers at
+        # most once, ppm.ml:330-371, so running the neighbor walk per bounce
+        # paid max_bounces x the lockstep loop overhead for nothing).
+        fd_pt = jnp.zeros_like(d)
+        fd_nrm = jnp.zeros_like(d)
+        fd_beta = jnp.zeros_like(d)
+        fd_ok = jnp.zeros(d.shape[:1], bool)
 
         def bounce_body(carry, b):
-            org, d, beta, alive, result = carry
+            org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok = carry
             u = sampler.get_dyn(offs, 2 + b)  # one dim per eye bounce
             h = hit_setup(org, d, alive)
             hit = h["hit"] & alive
@@ -372,15 +395,12 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
             is_diff = h["mat_kind"] == 0
             is_met = h["mat_kind"] == 1
 
-            # diffuse: gather and terminate (ppm.ml:330-371)
-            beta_d = beta * albedo
-            flux = gather(h["point"], h["normal"], hit & is_diff, radius,
-                          grid)
-            area = np.float32(np.pi) * radius * radius
-            normalizer = np.float32(1.0 - 2.0 / 3.0)
-            contrib = beta_d * flux / (area * normalizer)
+            # diffuse: record and terminate (a lane reaches this only once)
             take = hit & is_diff
-            result = result + vec.where3(take, contrib, jnp.zeros_like(result))
+            fd_pt = vec.where3(take, h["point"], fd_pt)
+            fd_nrm = vec.where3(take, h["normal"], fd_nrm)
+            fd_beta = vec.where3(take, beta * albedo, fd_beta)
+            fd_ok = fd_ok | take
 
             # specular continuation
             wo_met = shading.reflect_local(omega_i)
@@ -402,11 +422,16 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
             org = vec.where3(alive, new_org, org)
             d = vec.where3(alive, dir_world, d)
             beta = jnp.where(alive[..., None], beta_new, beta)
-            return (org, d, beta, alive, result), None
+            return (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok), None
 
-        (org, d, beta, alive, result), _ = jax.lax.scan(
-            bounce_body, (org, d, beta, alive, result),
+        (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok), _ = jax.lax.scan(
+            bounce_body, (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok),
             jnp.arange(max_bounces, dtype=jnp.int32))
+        flux = gather(fd_pt, fd_nrm, fd_ok, radius, grid)
+        area = np.float32(np.pi) * radius * radius
+        normalizer = np.float32(1.0 - 2.0 / 3.0)
+        contrib = fd_beta * flux / (area * normalizer)
+        result = vec.where3(fd_ok, contrib, jnp.zeros_like(contrib))
         return (result * inv_pc)[:n_pix].reshape(band_rows, width, 3)
 
     return eye_pass
