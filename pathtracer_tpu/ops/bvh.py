@@ -226,8 +226,20 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
             active = jnp.ones((n,), bool)
         # chunking bounds each while_loop's iteration count by its own worst
         # lane instead of the global worst lane; inactive (dead) lanes start
-        # finished, so post-bounce-0 wavefronts with few survivors are cheap
-        if chunk and n > chunk and n % chunk == 0:
+        # finished, so post-bounce-0 wavefronts with few survivors are cheap.
+        # Non-divisible n is padded with inactive lanes (never silently
+        # unchunked — a round-1 bug: one global worst lane taxed everything).
+        if chunk and n > chunk:
+            pad = (-n) % chunk
+            if pad:
+                zpad = jnp.zeros((pad, 3), org.dtype)
+                org = jnp.concatenate([org, zpad])
+                d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+                t_max0 = jnp.concatenate([t_max0, jnp.zeros((pad,),
+                                                            t_max0.dtype)])
+                active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+            np_tot = n + pad
+
             def one(args):
                 o, dd, tm, act = args
                 return intersect(o, dd, tm, act, chunk=None)
@@ -235,7 +247,7 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
                                  d.reshape(-1, chunk, 3),
                                  t_max0.reshape(-1, chunk),
                                  active.reshape(-1, chunk)))
-            return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
+            return tuple(o.reshape(np_tot, *o.shape[2:])[:n] for o in outs)
         inv_d = 1.0 / d
 
         def cond(state):

@@ -78,6 +78,15 @@ def scatter(mat_kind, albedo, ior, ior_inv, omega_i, hit_front, u, v):
     All quantities are local-frame. Returns (wo_local (N,3),
     attn_mult (N,3), ok (N,) bool) where ok=False means the path terminates
     (Absorb, or diffuse pdf == 0).
+
+    MIS note: the reference carries `diffuse_plus_light` scaffolding — the
+    scatter ratio Pdf.eval(sample)/divisor at integrator.ml:50-58 — but its
+    only Pdf constructor is Diffuse (pdf.ml:5-15) and every executable
+    passes the diffuse pdf as both numerator and divisor
+    (render_command.ml:81), so the ratio is identically 1. This port
+    therefore folds the ratio away: the diffuse branch's attenuation is the
+    albedo alone. If light-sampling MIS is ever added, reintroduce the
+    explicit cos/pi eval here.
     """
     wi_z = omega_i[..., 2]
     white = jnp.ones_like(albedo)

@@ -98,6 +98,23 @@ def test_bvh_traversal_matches_bruteforce():
     assert same.mean() > 0.95
 
 
+def test_bvh_traversal_chunked_odd_sizes():
+    """Chunking must pad (not silently disable) when n % chunk != 0; results
+    are identical to the unchunked walk for every odd size."""
+    verts, faces = _mesh(60, seed=3)
+    mat = np.zeros(12, np.float32)
+    mesh = MeshBVH(verts, faces, mat)
+    rs = np.random.RandomState(1)
+    for n in (130, 257, 1000):
+        org = rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+        d = rs.randn(n, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        want = mesh.intersect(jnp.asarray(org), jnp.asarray(d), chunk=None)
+        got = mesh.intersect(jnp.asarray(org), jnp.asarray(d), chunk=128)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_ganesha_pipeline_tiny(tmp_path):
     from tools.make_test_mesh import uv_sphere
     from pathtracer_tpu.models import ganesha
