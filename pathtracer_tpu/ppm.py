@@ -33,6 +33,7 @@ eye paths stop at the first diffuse) with offset pixel + iter*W*H
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from dataclasses import dataclass, field
@@ -237,8 +238,15 @@ def _cell_hash(ix, iy, iz, m):
     return (h & jnp.int32(0x7FFFFFFF)) % jnp.int32(m)
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
 def build_photon_grid(pos, valid, radius, m=1 << 17):
-    """Sort photons by hash bucket; returns (order, start, count, keys)."""
+    """Sort photons by hash bucket; returns (order, start, count).
+
+    Bucket boundaries come from bincount + exclusive cumsum, NOT
+    searchsorted: two m-query searchsorteds into the sorted keys lowered to
+    ~8 s of lane-granular gather loops on this TPU; bincount (one scatter-add)
+    + cumsum is ~milliseconds.
+    """
     inv_r = 1.0 / radius
     ix = jnp.floor(pos[:, 0] * inv_r).astype(jnp.int32)
     iy = jnp.floor(pos[:, 1] * inv_r).astype(jnp.int32)
@@ -246,9 +254,9 @@ def build_photon_grid(pos, valid, radius, m=1 << 17):
     key = jnp.where(valid, _cell_hash(ix, iy, iz, m), jnp.int32(m))
     n = pos.shape[0]
     keys_sorted, order = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
-    start = jnp.searchsorted(keys_sorted, jnp.arange(m, dtype=jnp.int32))
-    end = jnp.searchsorted(keys_sorted, jnp.arange(1, m + 1, dtype=jnp.int32))
-    return order, start, (end - start).astype(jnp.int32)
+    count = jnp.bincount(key, length=m + 1)[:m].astype(jnp.int32)
+    start = (jnp.cumsum(count) - count).astype(jnp.int32)
+    return order, start, count
 
 
 def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
@@ -315,7 +323,7 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         _, _, acc = jax.lax.while_loop(cond, body, init)
         return acc
 
-    def gather(point, normal, active, radius, grid, chunk=16384):
+    def gather(point, normal, active, radius, grid, chunk=4096):
         """Load-balanced lockstep gather: each chunk's cost is its own worst
         lane, so lanes are SORTED by their total candidate-photon count
         before chunking — dense (caustic) lanes share chunks with each other
@@ -534,7 +542,14 @@ class PPMRenderer:
                 print(f"  photon map length = {n_photons}", flush=True)
             order, start, count = build_photon_grid(pos, ok, jnp.float32(r))
             max_bucket = max(1, int(count.max()))
-            rows_fit = lane_iter_budget / (27.0 * max_bucket * self.width)
+            # the gather sorts lanes by candidate count and runs lockstep
+            # chunks in sorted order, so a call's duration tracks the MEAN
+            # bucket load, not the max; the max only bounds one chunk (x4
+            # safety margin keeps dense outliers under the 60 s call kill)
+            nonempty = max(1, int((count > 0).sum()))
+            mean_bucket = max(1.0, n_photons / nonempty)
+            eff_bucket = min(float(max_bucket), 4.0 * mean_bucket + 32.0)
+            rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
             band_rows = 4
             while band_rows * 2 <= min(64, self.height, rows_fit):
                 band_rows *= 2
