@@ -259,10 +259,109 @@ def build_photon_grid(pos, valid, radius, m=1 << 17):
     return order, start, count
 
 
+NEIGHBOR_OFFSETS = np.array(
+    [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1)
+     for z in (-1, 0, 1)], np.int32)
+
+
+def _hash_gather_chunk(args, dep_lanes):
+    """Per-lane dynamic cursor over the 27 neighbor cells' photon lists:
+    total iterations per lockstep chunk = its own worst lane's actual
+    photon count (plus 27 cell steps) — no fixed worst-case cap, so a
+    caustic-dense cell doesn't tax the whole image, and inactive lanes
+    cost nothing. Chunking bounds single-device-call duration (the
+    tunneled TPU kills calls that run for minutes)."""
+    (point, normal, active, s_tab, c_tab), (radius, order, pos, nrm,
+                                            flux, dep_valid) = args
+    inv_r = 1.0 / radius
+    r2 = radius * radius
+
+    def cond(state):
+        ci = state[0]
+        return jnp.any(ci < 27)
+
+    def body(state):
+        ci, k, acc = state
+        cic = jnp.minimum(ci, 26)
+        cur_s = jnp.take_along_axis(s_tab, cic[:, None], 1)[:, 0]
+        cur_c = jnp.take_along_axis(c_tab, cic[:, None], 1)[:, 0]
+        in_cell = (ci < 27) & (k < cur_c)
+        j = jnp.minimum(cur_s + k, dep_lanes - 1)
+        pj = order[j]
+        ok = in_cell & dep_valid[pj]
+        pp = pos[pj]
+        dist2 = vec.quadrance(point - pp)
+        ok &= dist2 < r2
+        ok &= vec.dot(nrm[pj], normal) > 1e-3
+        w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
+        acc = acc + jnp.where(ok[..., None], w[..., None] * flux[pj], 0.0)
+        k1 = k + 1
+        done_cell = ~in_cell
+        ci = jnp.where(done_cell, ci + 1, ci)
+        k = jnp.where(done_cell, 0, k1)
+        return ci, k, acc
+
+    ci0 = jnp.where(active, 0, 27).astype(jnp.int32)
+    init = (ci0, jnp.zeros_like(ci0), jnp.zeros_like(point))
+    _, _, acc = jax.lax.while_loop(cond, body, init)
+    return acc
+
+def hash_gather(point, normal, active, radius, grid, grid_m,
+                dep_lanes, chunk=4096):
+    """Load-balanced lockstep gather: each chunk's cost is its own worst
+    lane, so lanes are SORTED by their total candidate-photon count
+    before chunking — dense (caustic) lanes share chunks with each other
+    instead of taxing every chunk with one worst lane. 3-6x on
+    photon-dense iterations for pure-XLA effort."""
+    order, start, count, pos, nrm, flux, dep_valid = grid
+    n = point.shape[0]
+    inv_r = 1.0 / radius
+    cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
+    cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
+    cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
+    offs27 = jnp.asarray(NEIGHBOR_OFFSETS)
+    hkeys = _cell_hash(cx[:, None] + offs27[None, :, 0],
+                       cy[:, None] + offs27[None, :, 1],
+                       cz[:, None] + offs27[None, :, 2], grid_m)
+    s_tab = start[hkeys]  # (n, 27)
+    c_tab = jnp.where(active[:, None], count[hkeys], 0)
+    # Dedupe colliding buckets: two DIFFERENT neighbor cells can hash to
+    # the same bucket, and walking that bucket twice double-counts every
+    # photon in range (the distance test passes both times). Keep only
+    # the first visit of each bucket per lane.
+    for k in range(1, 27):
+        dup = jnp.zeros(hkeys.shape[0], bool)
+        for j in range(k):
+            dup = dup | (hkeys[:, j] == hkeys[:, k])
+        c_tab = c_tab.at[:, k].set(jnp.where(dup, 0, c_tab[:, k]))
+    cost = jnp.sum(c_tab, axis=1)
+    perm = jnp.argsort(jnp.where(active, cost, -1))
+    inv_perm = jnp.argsort(perm)
+    point_s, normal_s = point[perm], normal[perm]
+    active_s = active[perm]
+    s_s, c_s = s_tab[perm], c_tab[perm]
+
+    chunk = min(chunk, -(-n // 1024) * 1024)  # never pad past the band
+    pad = (-n) % chunk
+    if pad:
+        point_s = jnp.concatenate([point_s, jnp.zeros((pad, 3))])
+        normal_s = jnp.concatenate([normal_s, jnp.zeros((pad, 3))])
+        active_s = jnp.concatenate([active_s, jnp.zeros((pad,), bool)])
+        s_s = jnp.concatenate([s_s, jnp.zeros((pad, 27), s_s.dtype)])
+        c_s = jnp.concatenate([c_s, jnp.zeros((pad, 27), c_s.dtype)])
+    nc = point_s.shape[0] // chunk
+    rsh = lambda x: x.reshape(nc, chunk, *x.shape[1:])
+    acc = jax.lax.map(
+        lambda a: _hash_gather_chunk(
+            (a, (radius, order, pos, nrm, flux, dep_valid)), dep_lanes),
+        (rsh(point_s), rsh(normal_s), rsh(active_s), rsh(s_s), rsh(c_s)))
+    return acc.reshape(-1, 3)[:n][inv_perm]
+
+
 def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
                   backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
-                  mesh=None, band_rows: int = 64):
+                  mesh=None, band_rows: int = 64, use_kernel: bool = False):
     """Build eye_pass(offset_base, radius, grid+deposits, row0) -> one
     `band_rows`-row band of a PPM iteration's contribution (scaled by
     1/photon_count). The driver loops bands as SEPARATE device calls — one
@@ -277,92 +376,27 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     hit_setup = make_intersector(scene, backend, mesh=mesh)
     inv_pc = np.float32(1.0 / photon_count)
 
-    neighbor_offsets = np.array(
-        [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1)
-         for z in (-1, 0, 1)], np.int32)
+    gather = functools.partial(hash_gather, grid_m=grid_m,
+                               dep_lanes=dep_lanes)
 
-    def _gather_chunk(args):
-        """Per-lane dynamic cursor over the 27 neighbor cells' photon lists:
-        total iterations per lockstep chunk = its own worst lane's actual
-        photon count (plus 27 cell steps) — no fixed worst-case cap, so a
-        caustic-dense cell doesn't tax the whole image, and inactive lanes
-        cost nothing. Chunking bounds single-device-call duration (the
-        tunneled TPU kills calls that run for minutes)."""
-        (point, normal, active, s_tab, c_tab), (radius, order, pos, nrm,
-                                                flux, dep_valid) = args
-        inv_r = 1.0 / radius
-        r2 = radius * radius
+    def gather_kernel(point, normal, active, radius, grid):
+        """Pallas broadcast-gather (ops/pallas/gather_kernel.py): hits
+        sorted by cell Morton key for block coherence, photons streamed
+        through SMEM once per block instead of gathered per lane."""
+        from .ops.pallas import gather_kernel as gk
 
-        def cond(state):
-            ci = state[0]
-            return jnp.any(ci < 27)
-
-        def body(state):
-            ci, k, acc = state
-            cic = jnp.minimum(ci, 26)
-            cur_s = jnp.take_along_axis(s_tab, cic[:, None], 1)[:, 0]
-            cur_c = jnp.take_along_axis(c_tab, cic[:, None], 1)[:, 0]
-            in_cell = (ci < 27) & (k < cur_c)
-            j = jnp.minimum(cur_s + k, dep_lanes - 1)
-            pj = order[j]
-            ok = in_cell & dep_valid[pj]
-            pp = pos[pj]
-            dist2 = vec.quadrance(point - pp)
-            ok &= dist2 < r2
-            ok &= vec.dot(nrm[pj], normal) > 1e-3
-            w = 1.0 - jnp.sqrt(dist2) * inv_r  # cone filter k=1
-            acc = acc + jnp.where(ok[..., None], w[..., None] * flux[pj], 0.0)
-            k1 = k + 1
-            done_cell = ~in_cell
-            ci = jnp.where(done_cell, ci + 1, ci)
-            k = jnp.where(done_cell, 0, k1)
-            return ci, k, acc
-
-        ci0 = jnp.where(active, 0, 27).astype(jnp.int32)
-        init = (ci0, jnp.zeros_like(ci0), jnp.zeros_like(point))
-        _, _, acc = jax.lax.while_loop(cond, body, init)
-        return acc
-
-    def gather(point, normal, active, radius, grid, chunk=4096):
-        """Load-balanced lockstep gather: each chunk's cost is its own worst
-        lane, so lanes are SORTED by their total candidate-photon count
-        before chunking — dense (caustic) lanes share chunks with each other
-        instead of taxing every chunk with one worst lane. 3-6x on
-        photon-dense iterations for pure-XLA effort."""
-        order, start, count, pos, nrm, flux, dep_valid = grid
-        n = point.shape[0]
-        inv_r = 1.0 / radius
-        cx = jnp.floor(point[:, 0] * inv_r).astype(jnp.int32)
-        cy = jnp.floor(point[:, 1] * inv_r).astype(jnp.int32)
-        cz = jnp.floor(point[:, 2] * inv_r).astype(jnp.int32)
-        offs27 = jnp.asarray(neighbor_offsets)
-        hkeys = _cell_hash(cx[:, None] + offs27[None, :, 0],
-                           cy[:, None] + offs27[None, :, 1],
-                           cz[:, None] + offs27[None, :, 2], grid_m)
-        s_tab = start[hkeys]  # (n, 27)
-        c_tab = jnp.where(active[:, None], count[hkeys], 0)
-        cost = jnp.sum(c_tab, axis=1)
-        perm = jnp.argsort(jnp.where(active, cost, -1))
+        photons_t, start_t, count_t, glo, cell = grid
+        s_tab, e_tab, own_key = gk.query_tables(point, active, glo, cell,
+                                                start_t, count_t)
+        perm = jnp.argsort(jnp.where(active, own_key, jnp.int32(1 << 30)))
         inv_perm = jnp.argsort(perm)
-        point_s, normal_s = point[perm], normal[perm]
-        active_s = active[perm]
-        s_s, c_s = s_tab[perm], c_tab[perm]
+        flux = gk.gather_flux_pallas(point[perm], normal[perm],
+                                     s_tab[:, perm], e_tab[:, perm],
+                                     photons_t, radius)
+        return flux[inv_perm]
 
-        chunk = min(chunk, -(-n // 1024) * 1024)  # never pad past the band
-        pad = (-n) % chunk
-        if pad:
-            point_s = jnp.concatenate([point_s, jnp.zeros((pad, 3))])
-            normal_s = jnp.concatenate([normal_s, jnp.zeros((pad, 3))])
-            active_s = jnp.concatenate([active_s, jnp.zeros((pad,), bool)])
-            s_s = jnp.concatenate([s_s, jnp.zeros((pad, 27), s_s.dtype)])
-            c_s = jnp.concatenate([c_s, jnp.zeros((pad, 27), c_s.dtype)])
-        nc = point_s.shape[0] // chunk
-        rsh = lambda x: x.reshape(nc, chunk, *x.shape[1:])
-        acc = jax.lax.map(
-            lambda a: _gather_chunk(
-                (a, (radius, order, pos, nrm, flux, dep_valid))),
-            (rsh(point_s), rsh(normal_s), rsh(active_s), rsh(s_s), rsh(c_s)))
-        return acc.reshape(-1, 3)[:n][inv_perm]
+    if use_kernel:
+        gather = gather_kernel
 
     def eye_pass(offset_base, radius, grid, row0):
         # lane's global pixel = (row0 + lane//W) * W + lane%W
@@ -513,12 +547,18 @@ class PPMRenderer:
         lane_iter_budget = 2.0e8
         eye_passes = {}
 
+        # the Pallas broadcast-gather path needs real TPU hardware (SMEM
+        # DMA); the XLA hash-grid gather is the CPU/test/fallback path
+        use_kernel = (self.backend.startswith("pallas")
+                      and jax.default_backend() == "tpu")
+
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
                 eye_passes[band_rows] = jax.jit(make_eye_pass(
                     self.scene, self.camera, self.width, self.height,
                     self.max_bounces, self.photon_count, dep_lanes,
-                    self.backend, mesh=self.mesh, band_rows=band_rows))
+                    self.backend, mesh=self.mesh, band_rows=band_rows,
+                    use_kernel=use_kernel))
             return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
@@ -540,23 +580,41 @@ class PPMRenderer:
             n_photons = int(ok.sum())
             if self.verbose:
                 print(f"  photon map length = {n_photons}", flush=True)
-            order, start, count = build_photon_grid(pos, ok, jnp.float32(r))
-            max_bucket = max(1, int(count.max()))
-            # the gather sorts lanes by candidate count and runs lockstep
-            # chunks in sorted order, so a call's duration tracks the MEAN
-            # bucket load, not the max; the max only bounds one chunk (x4
-            # safety margin keeps dense outliers under the 60 s call kill)
-            nonempty = max(1, int((count > 0).sum()))
-            mean_bucket = max(1.0, n_photons / nonempty)
-            eff_bucket = min(float(max_bucket), 4.0 * mean_bucket + 32.0)
-            rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
-            band_rows = 4
-            while band_rows * 2 <= min(64, self.height, rows_fit):
-                band_rows *= 2
-            band_rows = min(band_rows, self.height)
+            if use_kernel:
+                from .ops.pallas import gather_kernel as gk
+                big = np.float32(3.0e38)
+                glo = np.asarray(jnp.min(jnp.where(ok[:, None], pos, big),
+                                         axis=0), np.float64)
+                ghi = np.asarray(jnp.max(jnp.where(ok[:, None], pos, -big),
+                                         axis=0), np.float64)
+                glo = glo - 1e-5
+                extent = float(max(1e-9, (ghi - glo).max()))
+                cell = np.float32(max(r, extent / (gk.SIDE - 1)))
+                photons_t, start, count = gk.build_photon_grid_morton(
+                    pos, nrm, flux, ok, jnp.asarray(glo, jnp.float32), cell)
+                grid = (photons_t, start, count,
+                        jnp.asarray(glo, jnp.float32), cell)
+                band_rows = min(64, self.height)
+            else:
+                order, start, count = build_photon_grid(pos, ok,
+                                                        jnp.float32(r))
+                max_bucket = max(1, int(count.max()))
+                # the gather sorts lanes by candidate count and runs
+                # lockstep chunks in sorted order, so a call's duration
+                # tracks the MEAN bucket load, not the max; the max only
+                # bounds one chunk (x4 safety margin keeps dense outliers
+                # under the 60 s call kill)
+                nonempty = max(1, int((count > 0).sum()))
+                mean_bucket = max(1.0, n_photons / nonempty)
+                eff_bucket = min(float(max_bucket), 4.0 * mean_bucket + 32.0)
+                rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
+                band_rows = 4
+                while band_rows * 2 <= min(64, self.height, rows_fit):
+                    band_rows *= 2
+                band_rows = min(band_rows, self.height)
+                grid = (order, start, count, pos, nrm, flux, ok)
             n_bands = -(-self.height // band_rows)
             eye_fn = get_eye_pass(band_rows)
-            grid = (order, start, count, pos, nrm, flux, ok)
             # fan the independent bands out across devices: the photon map is
             # replicated (device_put broadcast — the reference's shared
             # immutable tree), bands round-robin, results stitched on host.

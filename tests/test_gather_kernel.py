@@ -1,0 +1,102 @@
+"""Broadcast-gather kernel vs a brute-force cone-filter oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops.pallas import gather_kernel as gk
+
+
+def _brute_force(point, normal, active, pos, nrm, flux, valid, r):
+    """O(hits x photons) reference of the cone-filter sum."""
+    out = np.zeros((len(point), 3), np.float32)
+    for i in range(len(point)):
+        if not active[i]:
+            continue
+        d = pos - point[i]
+        d2 = (d * d).sum(1)
+        ndot = (nrm * normal[i]).sum(1)
+        ok = valid & (d2 < r * r) & (ndot > 1e-3)
+        w = 1.0 - np.sqrt(d2) / r
+        out[i] = (flux[ok] * w[ok, None]).sum(0)
+    return out
+
+
+def _setup(rng, n_hits, n_pho, r):
+    lo = np.zeros(3, np.float32)
+    point = rng.random((n_hits, 3)).astype(np.float32)
+    normal = rng.standard_normal((n_hits, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    active = rng.random(n_hits) < 0.9
+    pos = rng.random((n_pho, 3)).astype(np.float32)
+    nrm = rng.standard_normal((n_pho, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    flux = rng.random((n_pho, 3)).astype(np.float32)
+    valid = rng.random(n_pho) < 0.95
+    return lo, point, normal, active, pos, nrm, flux, valid
+
+
+def test_gather_kernel_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    r = 0.06
+    n_hits, n_pho = 1024, 3000
+    lo, point, normal, active, pos, nrm, flux, valid = _setup(
+        rng, n_hits, n_pho, r)
+    cell = np.float32(max(r, 1.0 / gk.SIDE))
+    tbl, start, count = gk.build_photon_grid_morton(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid), jnp.asarray(lo), cell)
+    s_tab, e_tab, own = gk.query_tables(jnp.asarray(point),
+                                        jnp.asarray(active),
+                                        jnp.asarray(lo), cell, start, count)
+    got = gk.gather_flux_pallas(jnp.asarray(point), jnp.asarray(normal),
+                                s_tab, e_tab, tbl, np.float32(r),
+                                interpret=True)
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    got = np.array(got)
+    got[~active] = 0.0  # inactive lanes have empty ranges, but be explicit
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_hash_gather_dedupes_colliding_buckets():
+    """Regression: two different neighbor cells hashing to the same bucket
+    must not double-count its photons. With a 256-entry table collisions are
+    common; the walk must still match brute force exactly."""
+    from pathtracer_tpu.ppm import build_photon_grid, hash_gather
+
+    rng = np.random.default_rng(3)
+    r = 0.08
+    n_pho, n_hit, m = 4000, 512, 256
+    lo, point, normal, active, pos, nrm, flux, valid = _setup(
+        rng, n_hit, n_pho, r)
+    order, start, count = build_photon_grid(
+        jnp.asarray(pos), jnp.asarray(valid), jnp.float32(r), m=m)
+    grid = (order, start, count, jnp.asarray(pos), jnp.asarray(nrm),
+            jnp.asarray(flux), jnp.asarray(valid))
+    got = np.asarray(hash_gather(jnp.asarray(point), jnp.asarray(normal),
+                                 jnp.asarray(active), jnp.float32(r), grid,
+                                 grid_m=m, dep_lanes=n_pho, chunk=512))
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_gather_kernel_hit_outside_grid():
+    """Eye hits outside the deposit bbox (e.g. the lit floor's far reaches)
+    must gather nothing rather than alias into boundary cells."""
+    rng = np.random.default_rng(1)
+    r = 0.05
+    lo, point, normal, active, pos, nrm, flux, valid = _setup(
+        rng, 1024, 500, r)
+    point[:512] += 50.0  # far outside the unit-box photon cloud
+    cell = np.float32(max(r, 1.0 / gk.SIDE))
+    tbl, start, count = gk.build_photon_grid_morton(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid), jnp.asarray(lo), cell)
+    s_tab, e_tab, own = gk.query_tables(jnp.asarray(point),
+                                        jnp.asarray(active),
+                                        jnp.asarray(lo), cell, start, count)
+    got = np.asarray(gk.gather_flux_pallas(
+        jnp.asarray(point), jnp.asarray(normal), s_tab, e_tab, tbl,
+        np.float32(r), interpret=True))
+    assert (got[:512] == 0.0).all()
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    np.testing.assert_allclose(got[512:], want[512:], rtol=2e-4, atol=2e-5)
