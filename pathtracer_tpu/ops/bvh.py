@@ -210,7 +210,31 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
     tri_e2 = jnp.asarray(tri_e2)
     eps = np.float32(1e-6)
 
-    def intersect(org, d, t_max0=None, active=None, chunk=8192):
+    # mesh bounds for the coherence key's origin quantization
+    root_lo = jnp.asarray(nodes_lo[0])
+    root_inv_ext = jnp.asarray(
+        1.0 / np.maximum(nodes_hi[0] - nodes_lo[0], 1e-9))
+
+    def _coherence_key(org, d, active):
+        """Sort key grouping rays that will walk similar subtrees: direction
+        octant (3b) + quantized direction Morton (15b) + origin-cell Morton
+        (12b). Chunk cost is its own worst lane, so coherent chunks make
+        worst ~= mean (same load-balance idea as the PPM gather sort);
+        inactive lanes sort to one tail chunk that exits immediately."""
+        from .pallas.gather_kernel import morton3
+        oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
+                + (d[:, 2] < 0)).astype(jnp.int32)
+        dn = d * jax.lax.rsqrt(jnp.maximum(jnp.sum(d * d, 1, keepdims=True),
+                                           1e-30))
+        q = jnp.clip(((dn + 1.0) * 15.5), 0, 31).astype(jnp.int32)
+        dm = morton3(q[:, 0], q[:, 1], q[:, 2])  # 15 bits
+        oq = jnp.clip((org - root_lo) * root_inv_ext * 15.0, 0,
+                      15).astype(jnp.int32)
+        om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 12 bits
+        key = (oct_ << 27) | (dm << 12) | om
+        return jnp.where(active, key, jnp.int32(2 ** 30))
+
+    def intersect(org, d, t_max0=None, active=None, chunk=4096):
         """Chunked lockstep walk with a per-lane leaf cursor: each while
         iteration
         either advances the node pointer (box test) or tests ONE leaf
@@ -230,6 +254,10 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
         # Non-divisible n is padded with inactive lanes (never silently
         # unchunked — a round-1 bug: one global worst lane taxed everything).
         if chunk and n > chunk:
+            perm = jnp.argsort(_coherence_key(org, d, active))
+            inv_perm = jnp.argsort(perm)
+            org, d = org[perm], d[perm]
+            t_max0, active = t_max0[perm], active[perm]
             pad = (-n) % chunk
             if pad:
                 zpad = jnp.zeros((pad, 3), org.dtype)
@@ -247,7 +275,8 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
                                  d.reshape(-1, chunk, 3),
                                  t_max0.reshape(-1, chunk),
                                  active.reshape(-1, chunk)))
-            return tuple(o.reshape(np_tot, *o.shape[2:])[:n] for o in outs)
+            return tuple(o.reshape(np_tot, *o.shape[2:])[:n][inv_perm]
+                         for o in outs)
         inv_d = 1.0 / d
 
         def cond(state):
