@@ -65,7 +65,11 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
             tp[:, TRI_A], tp[:, TRI_E1], tp[:, TRI_E2], scene.tri_valid)
     has_mesh = mesh is not None
 
-    def hit_setup(org, d, alive):
+    def hit_setup(org, d, alive, mesh_consts=None):
+        """mesh_consts: the mesh's device arrays threaded through the jit
+        boundary as arguments (MeshBVH.device_consts()) — closed-over
+        arrays become HLO constants and multiply XLA compile time."""
+        mc = mesh_consts or {}
         if custom_intersect:
             t_s, idx_s, hit_s = intersect_fn(scene, org, d)
             pk_rows = scene.shade_pack[idx_s]
@@ -99,7 +103,8 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         if has_mesh:
             t_cur = jnp.where(hit, jnp.where(use_tri, t_t, t_s) if has_tris
                               else t_s, spheres.BIG)
-            t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(org, d, active=alive)
+            t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(
+                org, d, active=alive, table=mc.get("table"))
             use_mesh = hit_m & (t_m < t_cur)
             use_tri = use_tri & ~use_mesh
             hit = hit | hit_m
@@ -123,9 +128,9 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         else:
             point, g_normal, t = point_s, n_s, t_s
         if has_mesh:
-            ma = mesh.tri_a[idx_m]
-            me1 = mesh.tri_e1[idx_m]
-            me2 = mesh.tri_e2[idx_m]
+            ma = mc.get("tri_a", mesh.tri_a)[idx_m]
+            me1 = mc.get("tri_e1", mesh.tri_e1)[idx_m]
+            me2 = mc.get("tri_e2", mesh.tri_e2)[idx_m]
             point_m = ma + u_m[:, None] * me1 + v_m[:, None] * me2
             n_m = vec.normalize(vec.cross(me1, me2))
             point = vec.where3(use_mesh, point_m, point)
@@ -157,7 +162,8 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
             # (ganesha/bin/main.ml:105-106): tu = v, tv = u+v
             u_tex = jnp.where(use_mesh, v_m, u_tex)
             v_tex = jnp.where(use_mesh, u_m + v_m, v_tex)
-            mat_rows = jnp.where(use_mesh[:, None], mesh.mat_row[None, :],
+            mat_rows = jnp.where(use_mesh[:, None],
+                                 mc.get("mat_row", mesh.mat_row)[None, :],
                                  mat_rows)
 
         albedo = eval_texture(mat_rows[:, 1], mat_rows[:, 2:5],
@@ -173,7 +179,8 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
 
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
-          backend: str | None = None, alive0=None, mesh=None):
+          backend: str | None = None, alive0=None, mesh=None,
+          mesh_consts=None):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
     segments traced (scalar int32)).
 
@@ -222,7 +229,7 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
 
     for bounce in range(max_bounces):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
-        h = hit_setup(org, d, alive)
+        h = hit_setup(org, d, alive, mesh_consts)
         hit = h["hit"] & alive
         miss = alive & ~hit
         rad = rad + vec.where3(miss, attn * background(d), jnp.zeros_like(rad))
@@ -447,7 +454,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(hp, wp, 3)
             return img[:height, :width]
 
-        def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None):
+        def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None,
+                          mesh_consts=None):
             pass_idx = jnp.asarray(pass_idx)
             lead = pass_idx.shape
             poff = (pass_idx.astype(jnp.uint32) * np.uint32(spp)).reshape(
@@ -463,7 +471,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                                       offset.shape).reshape(-1)
             rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                               max_bounces, background, intersect_fn,
-                              select_mode, backend, alive0=alive0, mesh=mesh)
+                              select_mode, backend, alive0=alive0, mesh=mesh,
+                              mesh_consts=mesh_consts)
             rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
             if lead:
                 rad = jnp.sum(rad, axis=0)
@@ -471,7 +480,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
 
         return tiled_pass_fn
 
-    def pass_fn(scene: SphereScene, pass_idx, row_ids=None):
+    def pass_fn(scene: SphereScene, pass_idx, row_ids=None,
+                mesh_consts=None):
         """pass_idx may be a scalar or a (pb,) vector of pass indices — a
         vector traces all those passes as one fused wavefront and returns
         their summed radiance (better TPU utilization at small images)."""
@@ -492,14 +502,15 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
         org = jnp.zeros_like(dirs)
         rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                           max_bounces, background, intersect_fn, select_mode,
-                          backend, mesh=mesh)
+                          backend, mesh=mesh, mesh_consts=mesh_consts)
         rad = rad.reshape(lead + (rows, width, 3))
         if lead:
             rad = jnp.sum(rad, axis=0)
         return rad, segs
 
     if not dynamic_rows:
-        return lambda scene, pass_idx: pass_fn(scene, pass_idx, None)
+        return lambda scene, pass_idx, mesh_consts=None: pass_fn(
+            scene, pass_idx, None, mesh_consts)
     return pass_fn
 
 
@@ -537,12 +548,13 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
     steps = spp // pb // chains
 
     @jax.jit
-    def render(scene: SphereScene):
+    def render_impl(scene: SphereScene, mesh_consts):
         def body(sums, p_mat):
             total = sums
             segs = jnp.zeros((), jnp.int32)
             for k in range(chains):
-                s, g = pass_fn(scene, p_mat[k] if pb > 1 else p_mat[k, 0])
+                s, g = pass_fn(scene, p_mat[k] if pb > 1 else p_mat[k, 0],
+                               mesh_consts=mesh_consts)
                 total = total + s
                 segs = segs + g
             return total, segs
@@ -552,7 +564,10 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, jnp.sum(segs)
 
-    return render
+    # mesh device arrays ride as jit ARGUMENTS (not closure constants,
+    # which multiply XLA compile time — see MeshBVH.device_consts)
+    consts = mesh.device_consts() if mesh is not None else None
+    return lambda scene: render_impl(scene, consts)
 
 
 def render_with_progress(camera, background, scene, width, height, spp,

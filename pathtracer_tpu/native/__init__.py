@@ -34,6 +34,13 @@ def _compile_and_load():
                               ctypes.c_int, ctypes.c_float, ctypes.c_float,
                               f32p, f32p, i32p, i32p, i32p]
     lib.bvh_build.restype = ctypes.c_int
+    lib.bvh_build2.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_float, ctypes.c_float,
+                               f32p, f32p, i32p, i32p, i32p, i32p]
+    lib.bvh_build2.restype = ctypes.c_int
+    lib.bvh_flatten_octants.argtypes = [i32p, i32p, ctypes.c_int,
+                                        i32p, i32p, i32p]
+    lib.bvh_flatten_octants.restype = None
     return lib
 
 
@@ -49,9 +56,10 @@ def get_lib():
 
 
 def bvh_build_native(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
-                     cost_i=1.0, cost_t=0.25):
+                     cost_i=1.0, cost_t=0.25, want_axes=False):
     """C++ binned-SAH build; returns the same tuple as ops.bvh.build_bvh or
-    None when the native library is unavailable."""
+    None when the native library is unavailable. With want_axes=True the
+    tuple gains a per-node split-axis array (-1 for leaves)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -64,8 +72,31 @@ def bvh_build_native(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
     meta = np.empty((cap, 3), np.int32)
     order = np.empty(n, np.int32)
     depth = np.zeros(1, np.int32)
+    if want_axes:
+        axes = np.empty(cap, np.int32)
+        m = lib.bvh_build2(lo, hi, n, length_cutoff, num_bins,
+                           np.float32(cost_i), np.float32(cost_t),
+                           nodes_lo, nodes_hi, meta, order, depth, axes)
+        return (nodes_lo[:m].copy(), nodes_hi[:m].copy(), meta[:m].copy(),
+                order.astype(np.int64), int(depth[0]), axes[:m].copy())
     m = lib.bvh_build(lo, hi, n, length_cutoff, num_bins,
                       np.float32(cost_i), np.float32(cost_t),
                       nodes_lo, nodes_hi, meta, order, depth)
     return (nodes_lo[:m].copy(), nodes_hi[:m].copy(), meta[:m].copy(),
             order.astype(np.int64), int(depth[0]))
+
+
+def bvh_flatten_octants_native(meta, axes):
+    """8 octant-ordered flattenings of a canonical skip-link tree; returns
+    (perm, enter, skip) each (8, m) int32, or None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    meta = np.ascontiguousarray(meta, np.int32)
+    axes = np.ascontiguousarray(axes, np.int32)
+    m = meta.shape[0]
+    perm = np.empty((8, m), np.int32)
+    enter = np.empty((8, m), np.int32)
+    skip = np.empty((8, m), np.int32)
+    lib.bvh_flatten_octants(meta, axes, m, perm, enter, skip)
+    return perm, enter, skip

@@ -21,6 +21,7 @@ namespace {
 struct Node {
   float lo[3], hi[3];
   int32_t first, count, skip;  // count>0 => leaf
+  int32_t axis;                // split axis for inner nodes, -1 for leaves
 };
 
 struct Builder {
@@ -71,6 +72,7 @@ struct Builder {
     nodes[me].first = 0;
     nodes[me].count = 0;
     nodes[me].skip = 0;
+    nodes[me].axis = -1;
 
     bool make_leaf = count <= 4;
     int best_axis = -1, best_bin = -1;
@@ -162,6 +164,11 @@ struct Builder {
     int mid;
     if (best_axis < 0) {
       mid = count / 2;  // degenerate centroids: median split
+      // ordered traversal wants SOME axis: use the longest bbox extent
+      float ext[3] = {nodes[me].hi[0] - nodes[me].lo[0],
+                      nodes[me].hi[1] - nodes[me].lo[1],
+                      nodes[me].hi[2] - nodes[me].lo[2]};
+      nodes[me].axis = (int32_t)(std::max_element(ext, ext + 3) - ext);
     } else {
       float scale = num_bins / (best_cmax - best_cmin);
       auto pred = [&](int32_t p) {
@@ -173,11 +180,51 @@ struct Builder {
       int32_t* split = std::partition(idx, idx + count, pred);
       mid = (int)(split - idx);
       if (mid == 0 || mid == count) mid = count / 2;
+      nodes[me].axis = best_axis;
     }
     rec(idx, mid, depth + 1);
     rec(idx + mid, count - mid, depth + 1);
     nodes[me].skip = (int32_t)nodes.size();
     return me;
+  }
+};
+
+}  // namespace
+
+namespace {
+
+// Depth-first re-flattening of the canonical tree for one direction
+// octant: children are emitted near-first by the sign of the ray
+// direction along each node's split axis (the reference's ordered
+// descent, shape_tree.ml:198-220, recast as 8 precomputed layouts so the
+// TPU walk stays a branch-free skip-link chase). Canonical child
+// derivation: left = i+1, right = meta[left].skip (index just past
+// left's subtree).
+struct OctFlattener {
+  const int32_t* meta;  // (m,3) canonical [first, count, skip]
+  const int32_t* axes;  // (m,) split axis, -1 for leaves
+  int oct;              // (dx<0)<<2 | (dy<0)<<1 | (dz<0)
+  int32_t* perm;        // new index -> canonical index
+  int32_t* enter;       // leaf: -(first+1); inner: near-child new index
+  int32_t* skip;        // new index just past the subtree
+  int cnt = 0;
+
+  int rec(int ci) {
+    int ni = cnt++;
+    perm[ni] = ci;
+    if (meta[3 * ci + 1] > 0) {  // leaf
+      enter[ni] = -(meta[3 * ci] + 1);
+    } else {
+      int l = ci + 1;
+      int r = meta[3 * l + 2];
+      bool neg = (oct >> (2 - axes[ci])) & 1;  // d[axis]<0 => right first
+      int near_c = neg ? r : l;
+      int far_c = neg ? l : r;
+      enter[ni] = rec(near_c);
+      rec(far_c);
+    }
+    skip[ni] = cnt;
+    return ni;
   }
 };
 
@@ -222,5 +269,62 @@ int bvh_build(const float* prim_lo, const float* prim_hi, int n,
   std::memcpy(order_out, b.order.data(), 4 * b.order.size());
   depth_out[0] = b.max_depth;
   return m;
+}
+
+// bvh_build plus per-node split axes (needed for ordered traversal
+// layouts). axes_out capacity 2n; -1 for leaves.
+int bvh_build2(const float* prim_lo, const float* prim_hi, int n,
+               int length_cutoff, int num_bins, float cost_i, float cost_t,
+               float* nodes_lo, float* nodes_hi, int32_t* meta,
+               int32_t* order_out, int32_t* depth_out, int32_t* axes_out) {
+  Builder b;
+  b.plo = prim_lo;
+  b.phi = prim_hi;
+  b.length_cutoff = length_cutoff;
+  b.num_bins = num_bins;
+  b.cost_i = cost_i;
+  b.cost_t = cost_t;
+  b.cx.resize(n);
+  b.cy.resize(n);
+  b.cz.resize(n);
+  b.work.resize(n);
+  b.nodes.reserve(2 * n);
+  b.order.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    b.cx[i] = 0.5f * (prim_lo[3 * i] + prim_hi[3 * i]);
+    b.cy[i] = 0.5f * (prim_lo[3 * i + 1] + prim_hi[3 * i + 1]);
+    b.cz[i] = 0.5f * (prim_lo[3 * i + 2] + prim_hi[3 * i + 2]);
+    b.work[i] = i;
+  }
+  b.rec(b.work.data(), n, 1);
+  int m = (int)b.nodes.size();
+  for (int i = 0; i < m; ++i) {
+    std::memcpy(nodes_lo + 3 * i, b.nodes[i].lo, 12);
+    std::memcpy(nodes_hi + 3 * i, b.nodes[i].hi, 12);
+    meta[3 * i] = b.nodes[i].first;
+    meta[3 * i + 1] = b.nodes[i].count;
+    meta[3 * i + 2] = b.nodes[i].skip;
+    axes_out[i] = b.nodes[i].axis;
+  }
+  std::memcpy(order_out, b.order.data(), 4 * b.order.size());
+  depth_out[0] = b.max_depth;
+  return m;
+}
+
+// Emit the 8 octant-ordered flattenings of a canonical skip-link tree.
+// Outputs are stacked per octant: perm/enter/skip each have 8*m entries
+// (octant o occupies [o*m, (o+1)*m)).
+void bvh_flatten_octants(const int32_t* meta, const int32_t* axes, int m,
+                         int32_t* perm, int32_t* enter, int32_t* skip) {
+  for (int o = 0; o < 8; ++o) {
+    OctFlattener f;
+    f.meta = meta;
+    f.axes = axes;
+    f.oct = o;
+    f.perm = perm + (size_t)o * m;
+    f.enter = enter + (size_t)o * m;
+    f.skip = skip + (size_t)o * m;
+    if (m > 0) f.rec(0);
+  }
 }
 }

@@ -28,10 +28,10 @@ BIG = np.float32(3.0e38)
 
 
 def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
-              cost_i=1.0, cost_t=0.25, native=True):
+              cost_i=1.0, cost_t=0.25, native=True, want_axes=False):
     """Build from per-primitive bboxes. Returns (nodes_lo (M,3), nodes_hi
     (M,3), meta (M,3) int32 [first,count,skip], order (T,) primitive
-    permutation, depth).
+    permutation, depth[, axes (M,) int32 when want_axes]).
 
     Uses the C++ builder (native/bvh_build.cc) when available — ~100x the
     python builder on large meshes — with this numpy version as the
@@ -40,13 +40,13 @@ def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
     if native:
         from ..native import bvh_build_native
         out = bvh_build_native(prim_lo, prim_hi, length_cutoff, num_bins,
-                               cost_i, cost_t)
+                               cost_i, cost_t, want_axes=want_axes)
         if out is not None:
             return out
     n = len(prim_lo)
     cent = 0.5 * (prim_lo + prim_hi)
     order = np.arange(n)
-    nodes = []  # (lo, hi, first, count, skip_placeholder)
+    nodes = []  # (lo, hi, first, count, skip_placeholder, axis)
 
     def node_bbox(idx):
         return prim_lo[idx].min(0), prim_hi[idx].max(0)
@@ -61,7 +61,7 @@ def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
         max_depth[0] = max(max_depth[0], depth)
         lo, hi = node_bbox(idx)
         me = len(nodes)
-        nodes.append([lo, hi, 0, 0, 0])
+        nodes.append([lo, hi, 0, 0, 0, -1])
         count = len(idx)
         if count <= 4:
             nodes[me][2:4] = [None, idx]  # leaf; resolved later
@@ -105,15 +105,18 @@ def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
             nodes[me][2:4] = [None, idx]
             return me
         if best is None:
-            # degenerate centroids and too big for a leaf: median split
+            # degenerate centroids and too big for a leaf: median split;
+            # ordered traversal wants SOME axis — longest bbox extent
             half = count // 2
             left_idx, right_idx = idx[:half], idx[half:]
+            nodes[me][5] = int(np.argmax(hi - lo))
         else:
             _, axis, b, cmin, cmax = best
             bins = np.clip(((cent[idx][:, axis] - cmin) / (cmax - cmin)
                             * num_bins).astype(np.int32), 0, num_bins - 1)
             sel = bins <= b
             left_idx, right_idx = idx[sel], idx[~sel]
+            nodes[me][5] = axis
         rec(left_idx, depth + 1)
         rec(right_idx, depth + 1)
         nodes[me][4] = len(nodes)  # skip = index past subtree
@@ -133,9 +136,11 @@ def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
     lo_arr = np.zeros((m, 3), np.float32)
     hi_arr = np.zeros((m, 3), np.float32)
     meta = np.zeros((m, 3), np.int32)
-    for i, (lo, hi, first, cnt, skip) in enumerate(nodes):
+    axes_arr = np.zeros(m, np.int32)
+    for i, (lo, hi, first, cnt, skip, ax) in enumerate(nodes):
         lo_arr[i] = lo
         hi_arr[i] = hi
+        axes_arr[i] = ax
         if first is None:  # leaf: cnt holds the index array
             meta[i, 0] = len(perm)
             meta[i, 1] = len(cnt)
@@ -145,7 +150,114 @@ def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
             meta[i, 0] = 0
             meta[i, 1] = 0
             meta[i, 2] = skip
-    return lo_arr, hi_arr, meta, np.asarray(perm), max_depth[0]
+    out = (lo_arr, hi_arr, meta, np.asarray(perm), max_depth[0])
+    return out + (axes_arr,) if want_axes else out
+
+
+def flatten_octants(meta, axes, native=True):
+    """8 octant-ordered DFS flattenings of a canonical skip-link tree:
+    per octant o = (dx<0)<<2 | (dy<0)<<1 | (dz<0), children are emitted
+    near-first by the ray-direction sign along each node's split axis.
+    This is the reference's ordered descent (shape_tree.ml:198-220) recast
+    for TPU: instead of a per-ray stack, the walk just starts each lane at
+    its own octant's root row and chases precomputed skip links.
+
+    Returns (perm, enter, skip), each (8, m) int32; perm maps new->canon
+    index, enter is -(first+1) for leaves else the near-child new index,
+    skip is the new index just past the subtree. C++ when available.
+    """
+    if native:
+        from ..native import bvh_flatten_octants_native
+        out = bvh_flatten_octants_native(meta, axes)
+        if out is not None:
+            return out
+    import sys
+    m = meta.shape[0]
+    perm = np.empty((8, m), np.int32)
+    enter = np.empty((8, m), np.int32)
+    skip = np.empty((8, m), np.int32)
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        for o in range(8):
+            cnt = [0]
+
+            def rec(ci):
+                ni = cnt[0]
+                cnt[0] += 1
+                perm[o, ni] = ci
+                if meta[ci, 1] > 0:  # leaf
+                    enter[o, ni] = -(meta[ci, 0] + 1)
+                else:
+                    left = ci + 1
+                    right = meta[left, 2]
+                    neg = (o >> (2 - axes[ci])) & 1
+                    near, far = (right, left) if neg else (left, right)
+                    enter[o, ni] = rec(near)
+                    rec(far)
+                skip[o, ni] = cnt[0]
+                return ni
+
+            if m:
+                rec(0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return perm, enter, skip
+
+
+def build_walk_table(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1, tri_e2):
+    """Assemble the unified gather table for the octant-ordered walk.
+
+    One (R, 16) f32 array holding BOTH node rows and triangle rows, so each
+    walk iteration issues exactly ONE row gather (the old walk needed six:
+    meta/lo/hi/a/e1/e2 — on a gather-bound loop that is the bill). Rows:
+
+      node rows  [0, 8m):  [lo xyz, hi xyz, enter_bits, skip_bits, 0...]
+                 octant o's flattening occupies rows [o*m, (o+1)*m); all
+                 its pointers stay inside the slice or jump to tri rows,
+                 so the walk never needs to know the octant after lane
+                 init. enter = near-child row (inner) or 8m+first (leaf);
+                 skip = subtree-miss row or DONE.
+      tri rows   [8m, 8m+T): [a xyz, e1 xyz, e2 xyz, idx_bits, is_last, ...]
+                 chained: next = row+1, or (is_last) the walk's carried
+                 leaf-return register. Shared by all 8 octants.
+      DONE row   R-1: all-zero dummy (det==0 never hits); absorbing.
+
+    Int columns are raw int32 bits stored via np view / lax.bitcast — the
+    gather moves bits, never interprets them as floats.
+    """
+    m = meta.shape[0]
+    perm, enter, skip = flatten_octants(meta, axes)
+    tri_a = np.asarray(tri_a, np.float32)
+    tri_e1 = np.asarray(tri_e1, np.float32)
+    tri_e2 = np.asarray(tri_e2, np.float32)
+    t_cnt = tri_a.shape[0]
+    node_end = 8 * m
+    rows = node_end + t_cnt + 1
+    done = rows - 1
+    table = np.zeros((rows, 16), np.float32)
+    ti = table.view(np.int32)
+
+    p = perm.reshape(-1).astype(np.int64)
+    table[:node_end, 0:3] = nodes_lo[p]
+    table[:node_end, 3:6] = nodes_hi[p]
+    oct_off = np.arange(8, dtype=np.int32)[:, None] * m
+    is_leaf = enter < 0
+    enter_rows = np.where(is_leaf, node_end + (-enter - 1), enter + oct_off)
+    skip_rows = np.where(skip >= m, done, skip + oct_off)
+    ti[:node_end, 6] = enter_rows.reshape(-1)
+    ti[:node_end, 7] = skip_rows.reshape(-1)
+
+    tr = slice(node_end, node_end + t_cnt)
+    table[tr, 0:3] = tri_a
+    table[tr, 3:6] = tri_e1
+    table[tr, 6:9] = tri_e2
+    ti[tr, 9] = np.arange(t_cnt, dtype=np.int32)
+    last = np.zeros(t_cnt, np.float32)
+    lm = meta[:, 1] > 0
+    last[meta[lm, 0] + meta[lm, 1] - 1] = 1.0
+    table[tr, 10] = last
+    return table, node_end, m
 
 
 def leaf_histogram(meta):
@@ -158,6 +270,169 @@ def leaf_histogram(meta):
     return dict(sorted(hist.items()))
 
 
+def _coherence_key_fn(root_lo_np, root_hi_np):
+    """Sort key grouping rays that will walk similar subtrees: direction
+    octant (3b) + quantized direction Morton (15b) + origin-cell Morton
+    (12b). Chunk cost is its own worst lane, so coherent chunks make
+    worst ~= mean (same load-balance idea as the PPM gather sort);
+    inactive lanes sort to one tail chunk that exits immediately."""
+    from .pallas.gather_kernel import morton3
+    root_lo = jnp.asarray(root_lo_np)
+    root_inv_ext = jnp.asarray(
+        1.0 / np.maximum(np.asarray(root_hi_np) - np.asarray(root_lo_np),
+                         1e-9))
+
+    def key(org, d, active):
+        oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
+                + (d[:, 2] < 0)).astype(jnp.int32)
+        dn = d * jax.lax.rsqrt(jnp.maximum(jnp.sum(d * d, 1, keepdims=True),
+                                           1e-30))
+        q = jnp.clip(((dn + 1.0) * 15.5), 0, 31).astype(jnp.int32)
+        dm = morton3(q[:, 0], q[:, 1], q[:, 2])  # 15 bits
+        oq = jnp.clip((org - root_lo) * root_inv_ext * 15.0, 0,
+                      15).astype(jnp.int32)
+        om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 12 bits
+        key = (oct_ << 27) | (dm << 12) | om
+        return jnp.where(active, key, jnp.int32(2 ** 30))
+
+    return key
+
+
+def _chunked(one, key_fn, org, d, t_max0, active, chunk):
+    """Coherence-sort lanes, pad to a chunk multiple, and run `one` per
+    chunk under lax.map. Chunking bounds each while_loop's iteration count
+    by its own worst lane instead of the global worst lane; inactive lanes
+    sort to the tail and exit immediately."""
+    n = org.shape[0]
+    perm = jnp.argsort(key_fn(org, d, active))
+    inv_perm = jnp.argsort(perm)
+    org, d = org[perm], d[perm]
+    t_max0, active = t_max0[perm], active[perm]
+    pad = (-n) % chunk
+    if pad:
+        zpad = jnp.zeros((pad, 3), org.dtype)
+        org = jnp.concatenate([org, zpad])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max0 = jnp.concatenate([t_max0, jnp.zeros((pad,), t_max0.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+    n_tot = n + pad
+    outs = lax.map(lambda args: one(*args),
+                   (org.reshape(-1, chunk, 3), d.reshape(-1, chunk, 3),
+                    t_max0.reshape(-1, chunk), active.reshape(-1, chunk)))
+    return tuple(o.reshape(n_tot, *o.shape[2:])[:n][inv_perm] for o in outs)
+
+
+def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
+                               root_hi):
+    """intersect(org, d, t_max0, active) -> (t, u, v, idx, hit) via the
+    unified-table octant-ordered walk (see build_walk_table).
+
+    TPU-first design notes (vs the reference's recursive descent,
+    shape_tree.ml:198-220, and vs a hypothetical Pallas kernel):
+      - each iteration is ONE row gather + ~60 vector ops on all lanes;
+        per-lane divergence costs nothing beyond max-lane iterations
+        within a coherence-sorted chunk;
+      - near-child-first ordering comes from starting each lane at its
+        direction octant's root row — zero per-step overhead, no stack;
+        t_best shrinks sooner, so far subtrees get culled by the slab
+        test instead of walked;
+      - a short-stack Pallas traversal was prototyped and measured
+        (tools/proto_bisect.py): a *dependent* dynamic row fetch costs
+        ~1.5 us and a dynamic-shift roll ~40 us on this TPU — serial
+        pointer-chasing cannot beat XLA's vectorized gather engine, so
+        the walk stays in XLA by measurement, not assumption.
+    """
+    table_default = jnp.asarray(table_np)
+    rows_total = table_np.shape[0]
+    done = rows_total - 1
+    eps = np.float32(1e-6)
+    key_fn = _coherence_key_fn(root_lo, root_hi)
+
+    def make_one(table_j):
+        return lambda org, d, t_max0, active: one(table_j, org, d, t_max0,
+                                                  active)
+
+    def one(table_j, org, d, t_max0, active):
+        n = org.shape[0]
+        inv_d = 1.0 / d
+        oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
+                + (d[:, 2] < 0)).astype(jnp.int32)
+        ptr0 = jnp.where(active, oct_ * m_nodes, done)
+        t_best0 = jnp.minimum(t_max0, BIG)
+
+        def cond(state):
+            return jnp.any(state[0] != done)
+
+        def body(state):
+            ptr, lret, t_best, u_best, v_best, i_best = state
+            rows = table_j[ptr]  # (n, 16): the one gather per step
+            rows_i = lax.bitcast_convert_type(rows, jnp.int32)
+            is_node = ptr < node_end
+
+            # node interpretation: slab test (bbox.ml:40-56)
+            lo = rows[:, 0:3]
+            hi = rows[:, 3:6]
+            t0 = (lo - org) * inv_d
+            t1 = (hi - org) * inv_d
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            box_hit = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, t_best)) \
+                & is_node
+            enter = rows_i[:, 6]
+            skp = rows_i[:, 7]
+            is_leaf = enter >= node_end
+
+            # triangle interpretation (Moller-Trumbore, triangle.ml:74-98)
+            e2 = rows[:, 6:9]
+            pvec = jnp.cross(d, e2)
+            det = jnp.sum(rows[:, 3:6] * pvec, axis=-1)
+            det_inv = 1.0 / det
+            tvec = org - rows[:, 0:3]
+            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
+            qvec = jnp.cross(tvec, rows[:, 3:6])
+            vv = det_inv * jnp.sum(d * qvec, axis=-1)
+            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
+            ok = (~is_node & (jnp.abs(det) >= eps) & (uu >= 0.0)
+                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt >= 0.0) & (tt <= t_best))
+            t_best = jnp.where(ok, tt, t_best)
+            u_best = jnp.where(ok, uu, u_best)
+            v_best = jnp.where(ok, vv, v_best)
+            i_best = jnp.where(ok, rows_i[:, 9], i_best)
+
+            nxt_tri = jnp.where(rows[:, 10] > 0.5, lret, ptr + 1)
+            nxt = jnp.where(is_node,
+                            jnp.where(box_hit, enter, skp), nxt_tri)
+            nxt = jnp.where(ptr == done, done, nxt)
+            lret = jnp.where(box_hit & is_leaf, skp, lret)
+            return nxt, lret, t_best, u_best, v_best, i_best
+
+        init = (ptr0, jnp.full((n,), done, jnp.int32), t_best0,
+                jnp.zeros((n,)), jnp.zeros((n,)),
+                jnp.zeros((n,), jnp.int32))
+        _, _, t, u, v, idx = lax.while_loop(cond, body, init)
+        hit = t < jnp.minimum(t_max0, BIG)
+        return t, u, v, idx, hit
+
+    def intersect(org, d, t_max0=None, active=None, chunk=4096, table=None):
+        """table: pass the mesh's walk table as a TRACED jit argument to
+        avoid embedding it as an HLO constant — a closed-over 22 MB table
+        costs ~160 s of XLA compile vs ~tens of seconds as an argument
+        (measured, tools/proto_const_compile.py). Defaults to the captured
+        table for interactive/test use."""
+        n = org.shape[0]
+        if t_max0 is None:
+            t_max0 = jnp.full((n,), BIG)
+        if active is None:
+            active = jnp.ones((n,), bool)
+        fn = make_one(table_default if table is None else table)
+        if chunk and n > chunk:
+            return _chunked(fn, key_fn, org, d, t_max0, active, chunk)
+        return fn(org, d, t_max0, active)
+
+    return intersect
+
+
 class MeshBVH:
     """Host-side container: a triangle mesh with its flattened BVH and a
     uniform material row (the ganesha mesh pattern, ganesha/bin/main.ml:88-119).
@@ -166,7 +441,7 @@ class MeshBVH:
     material layout shared with Scene (scene.TRI_MAT)."""
 
     def __init__(self, vertices, faces, mat_row, length_cutoff=8,
-                 num_bins=32):
+                 num_bins=32, walk="octant"):
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
         assert faces.shape[1] == 3, "expected triangular faces"
@@ -175,22 +450,48 @@ class MeshBVH:
         c = vertices[faces[:, 2]]
         lo = np.minimum(np.minimum(a, b), c)
         hi = np.maximum(np.maximum(a, b), c)
-        nodes_lo, nodes_hi, meta, order, depth = build_bvh(
-            lo, hi, length_cutoff=length_cutoff, num_bins=num_bins)
+        nodes_lo, nodes_hi, meta, order, depth, axes = build_bvh(
+            lo, hi, length_cutoff=length_cutoff, num_bins=num_bins,
+            want_axes=True)
         self.depth = depth
         self.n_tris = len(faces)
         self.meta_np = meta
         self.max_leaf = int(meta[:, 1].max()) if len(meta) else 0
         a, b, c = a[order], b[order], c[order]
-        self.tri_a = jnp.asarray(a)
-        self.tri_e1 = jnp.asarray(b - a)
-        self.tri_e2 = jnp.asarray(c - a)
+        e1 = b - a
+        e2 = c - a
         self.mat_row = jnp.asarray(np.asarray(mat_row, np.float32))
         self.bbox_lo = nodes_lo[0].copy()
         self.bbox_hi = nodes_hi[0].copy()
-        self.intersect = make_mesh_traverser(
-            nodes_lo, nodes_hi, meta, self.tri_a, self.tri_e1, self.tri_e2,
-            self.max_leaf)
+        self.tri_a = jnp.asarray(a)
+        self.tri_e1 = jnp.asarray(e1)
+        self.tri_e2 = jnp.asarray(e2)
+        self.table_j = None
+        if walk == "octant":
+            # unified-table ordered walk (one gather per step)
+            table, node_end, m = build_walk_table(nodes_lo, nodes_hi, meta,
+                                                  axes, a, e1, e2)
+            self.table_j = jnp.asarray(table)
+            # pass the device array: jnp.asarray is then a no-op, so the
+            # table exists on device exactly once
+            self.intersect = make_mesh_traverser_octant(
+                self.table_j, node_end, m, nodes_lo[0], nodes_hi[0])
+        else:  # "skiplink": the round-1 fixed-DFS walk, kept as A/B oracle
+            self.intersect = make_mesh_traverser(
+                nodes_lo, nodes_hi, meta, self.tri_a, self.tri_e1,
+                self.tri_e2, self.max_leaf)
+
+    def device_consts(self):
+        """The mesh's large device arrays as a pytree, for threading through
+        jit boundaries as ARGUMENTS. Closed-over device arrays are embedded
+        in the HLO as constants and XLA compile time explodes on them
+        (~160 s for a 22 MB table, tools/proto_const_compile.py); passing
+        the same arrays as jit arguments avoids that entirely."""
+        consts = dict(tri_a=self.tri_a, tri_e1=self.tri_e1,
+                      tri_e2=self.tri_e2, mat_row=self.mat_row)
+        if self.table_j is not None:
+            consts["table"] = self.table_j
+        return consts
 
     def leaf_histogram(self):
         return leaf_histogram(self.meta_np)
@@ -234,9 +535,11 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
         key = (oct_ << 27) | (dm << 12) | om
         return jnp.where(active, key, jnp.int32(2 ** 30))
 
-    def intersect(org, d, t_max0=None, active=None, chunk=4096):
+    def intersect(org, d, t_max0=None, active=None, chunk=4096, table=None):
         """Chunked lockstep walk with a per-lane leaf cursor: each while
         iteration
+        (`table` is accepted for interface parity with the octant walk and
+        ignored: this A/B-oracle path keeps its arrays as closures.)
         either advances the node pointer (box test) or tests ONE leaf
         triangle (k = cursor, -1 = not in a leaf). A single iteration costs
         one node fetch + one triangle fetch for every lane — the global

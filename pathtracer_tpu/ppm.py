@@ -36,6 +36,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Callable, List
 
@@ -146,9 +147,12 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
     n_chunks = -(-lanes // chunk)
     local_ids = jnp.arange(chunk, dtype=jnp.int32)
     hit_setup = make_intersector(scene, backend, mesh=mesh)
+    # mesh arrays ride as jit arguments, not closure constants (compile
+    # time: see MeshBVH.device_consts)
+    consts = mesh.device_consts() if mesh is not None else None
 
     @jax.jit
-    def trace_chunk(offset_base, lane_base):
+    def trace_chunk(offset_base, lane_base, mesh_consts):
         lane_ids = local_ids + lane_base
         offs = lane_ids.astype(jnp.uint32) + offset_base.astype(jnp.uint32)
         u0 = sampler.get(offs, 0)
@@ -161,7 +165,7 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             org, d, flux, alive = carry
             u = sampler.get_dyn(offs, 2 + 2 * b)
             v = sampler.get_dyn(offs, 3 + 2 * b)
-            h = hit_setup(org, d, alive)
+            h = hit_setup(org, d, alive, mesh_consts)
             hit = h["hit"] & alive
             q = shading.shader_quat(h["normal"])
             omega_i = quat_ops.rotate(q, -d)
@@ -214,11 +218,12 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
 
     dep_rows = n_chunks * chunk * max_bounces
     if n_chunks == 1:
-        return (lambda offset_base: trace_chunk(offset_base, jnp.int32(0)),
+        return (lambda offset_base: trace_chunk(offset_base, jnp.int32(0),
+                                                consts),
                 total, dep_rows)
 
     def trace_photons(offset_base):
-        outs = [trace_chunk(offset_base, jnp.int32(ci * chunk))
+        outs = [trace_chunk(offset_base, jnp.int32(ci * chunk), consts)
                 for ci in range(n_chunks)]
         return tuple(jnp.concatenate([o[k] for o in outs])
                      for k in range(4))
@@ -398,7 +403,7 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     if use_kernel:
         gather = gather_kernel
 
-    def eye_pass(offset_base, radius, grid, row0):
+    def eye_pass(offset_base, radius, grid, row0, mesh_consts=None):
         # lane's global pixel = (row0 + lane//W) * W + lane%W
         pix = (row0.astype(jnp.uint32) * np.uint32(width)
                + jnp.asarray(lane_ids, jnp.uint32))
@@ -428,7 +433,7 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
         def bounce_body(carry, b):
             org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok = carry
             u = sampler.get_dyn(offs, 2 + b)  # one dim per eye bounce
-            h = hit_setup(org, d, alive)
+            h = hit_setup(org, d, alive, mesh_consts)
             hit = h["hit"] & alive
             q = shading.shader_quat(h["normal"])
             omega_i = quat_ops.rotate(q, -d)
@@ -572,6 +577,7 @@ class PPMRenderer:
                 if self.verbose:
                     print(f"resuming from iteration {start_iter}", flush=True)
         for i in range(start_iter, self.iterations):
+            t_iter = time.monotonic()
             r = self.radius(i + 1)
             if self.verbose:
                 print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
@@ -579,7 +585,8 @@ class PPMRenderer:
                 jnp.uint32(i * self.photon_count))
             n_photons = int(ok.sum())
             if self.verbose:
-                print(f"  photon map length = {n_photons}", flush=True)
+                print(f"  photon map length = {n_photons} "
+                      f"({time.monotonic() - t_iter:.2f}s)", flush=True)
             if use_kernel:
                 from .ops.pallas import gather_kernel as gk
                 big = np.float32(3.0e38)
@@ -621,10 +628,16 @@ class PPMRenderer:
             # This is the domainslib tile fan-out (integrator.ml:141-151)
             # for the photon mapper.
             devices = self.devices or jax.devices()
+            mesh_consts = (self.mesh.device_consts()
+                           if self.mesh is not None else None)
             if len(devices) > 1:
                 grids = [jax.device_put(grid, dev) for dev in devices]
+                consts_dev = [jax.device_put(mesh_consts, dev)
+                              for dev in devices] \
+                    if mesh_consts is not None else [None] * len(devices)
             else:
                 grids = [grid]
+                consts_dev = [mesh_consts]
             futures = []
             for bi in range(n_bands):
                 dev = bi % len(grids)
@@ -637,10 +650,14 @@ class PPMRenderer:
                     if len(grids) > 1 else jnp.float32(r),
                     g_dev, jax.device_put(jnp.int32(bi * band_rows),
                                           devices[dev])
-                    if len(grids) > 1 else jnp.int32(bi * band_rows)))
+                    if len(grids) > 1 else jnp.int32(bi * band_rows),
+                    consts_dev[dev]))
             img = np.concatenate([np.asarray(b, np.float64)
                                   for b in futures])[:self.height]
             img_sum += img[::-1]  # reference writes row (height-1-y)
+            if self.verbose:
+                print(f"  iteration wall = "
+                      f"{time.monotonic() - t_iter:.2f}s", flush=True)
             if output is not None:
                 from .io.png import write_png
                 avg = (img_sum / (i + 1)) ** (1.0 / 2.2)  # PPM gamma 1/2.2

@@ -115,6 +115,55 @@ def test_bvh_traversal_chunked_odd_sizes():
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_octant_walk_matches_skiplink():
+    """The octant-ordered unified-table walk must agree with the round-1
+    skip-link walk (the --no-simd-style A/B oracle for the mesh path)."""
+    verts, faces = _mesh(120, seed=11)
+    mat = np.zeros(12, np.float32)
+    m_oct = MeshBVH(verts, faces, mat, walk="octant")
+    m_skip = MeshBVH(verts, faces, mat, walk="skiplink")
+    rs = np.random.RandomState(2)
+    n = 700
+    org = rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    t_max = np.where(rs.rand(n) < 0.5, 3.0, 1e30).astype(np.float32)
+    active = rs.rand(n) > 0.25
+    o1 = m_oct.intersect(jnp.asarray(org), jnp.asarray(d),
+                         jnp.asarray(t_max), jnp.asarray(active), chunk=256)
+    o2 = m_skip.intersect(jnp.asarray(org), jnp.asarray(d),
+                          jnp.asarray(t_max), jnp.asarray(active), chunk=256)
+    h1, h2 = np.asarray(o1[4]), np.asarray(o2[4])
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_allclose(np.asarray(o1[0])[h1], np.asarray(o2[0])[h1],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flatten_octants_python_matches_native():
+    from pathtracer_tpu.native import bvh_flatten_octants_native
+    from pathtracer_tpu.ops.bvh import flatten_octants
+
+    verts, faces = _mesh(150, seed=5)
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    lo = np.minimum(np.minimum(a, b), c)
+    hi = np.maximum(np.maximum(a, b), c)
+    nodes_lo, nodes_hi, meta, order, depth, axes = build_bvh(
+        lo, hi, want_axes=True)
+    native = bvh_flatten_octants_native(meta, axes)
+    perm, enter, skip = flatten_octants(meta, axes, native=False)
+    m = meta.shape[0]
+    if native is not None:
+        np.testing.assert_array_equal(native[0], perm)
+        np.testing.assert_array_equal(native[1], enter)
+        np.testing.assert_array_equal(native[2], skip)
+    # octant 0 == canonical DFS order
+    np.testing.assert_array_equal(perm[0], np.arange(m))
+    # every octant's perm is a permutation
+    for o in range(8):
+        assert sorted(perm[o].tolist()) == list(range(m))
+
+
 def test_ganesha_pipeline_tiny(tmp_path):
     from tools.make_test_mesh import uv_sphere
     from pathtracer_tpu.models import ganesha
