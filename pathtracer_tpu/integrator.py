@@ -59,10 +59,16 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
             packed = spheres.pack_for_intersect(scene.center, scene.radius,
                                                 scene.valid)
     has_tris = scene.tri_count > 0
+    tris_pallas = has_tris and backend.startswith("pallas")
     if has_tris:
         tp = scene.tri_pack
-        tri_comps = tri_ops.pack_for_intersect(
-            tp[:, TRI_A], tp[:, TRI_E1], tp[:, TRI_E2], scene.tri_valid)
+        if tris_pallas:
+            from .ops.pallas import tri_kernel as tk
+            tri_table = tk.pack_tris_pallas(tp[:, TRI_A], tp[:, TRI_E1],
+                                            tp[:, TRI_E2], scene.tri_valid)
+        else:
+            tri_comps = tri_ops.pack_for_intersect(
+                tp[:, TRI_A], tp[:, TRI_E1], tp[:, TRI_E2], scene.tri_valid)
     has_mesh = mesh is not None
 
     def hit_setup(org, d, alive, mesh_consts=None):
@@ -93,7 +99,13 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
                                    inv_a)
 
         if has_tris:
-            t_t, idx_t, hit_t = tri_ops.intersect_tris(tri_comps, org, d)
+            if tris_pallas:
+                from .ops.pallas import tri_kernel as tk
+                t_t, idx_t, hit_t = tk.intersect_tris_pallas(
+                    tri_table, org, d, alive,
+                    interpret=(backend == "pallas_interpret"))
+            else:
+                t_t, idx_t, hit_t = tri_ops.intersect_tris(tri_comps, org, d)
             tri_rows = scene.tri_pack[idx_t]
             use_tri = hit_t & (~hit_s | (t_t < t_s))
             hit = hit_s | hit_t
