@@ -277,10 +277,13 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
     worst ~= mean (same load-balance idea as the PPM gather sort);
     inactive lanes sort to one tail chunk that exits immediately."""
     from .pallas.gather_kernel import morton3
-    root_lo = jnp.asarray(root_lo_np)
-    root_inv_ext = jnp.asarray(
+    # HOST numpy, not device arrays: closed-over device arrays lower into
+    # MLIR constants via a device->host pull whose first occurrence in a
+    # process costs minutes through the TPU tunnel (see ops/lds.Sampler)
+    root_lo = np.asarray(root_lo_np, np.float32)
+    root_inv_ext = np.asarray(
         1.0 / np.maximum(np.asarray(root_hi_np) - np.asarray(root_lo_np),
-                         1e-9))
+                         1e-9), np.float32)
 
     def key(org, d, active):
         oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
@@ -472,14 +475,21 @@ class MeshBVH:
             table, node_end, m = build_walk_table(nodes_lo, nodes_hi, meta,
                                                   axes, a, e1, e2)
             self.table_j = jnp.asarray(table)
+            # Force the host->device upload to COMPLETE here, before any
+            # program consumes the table: letting the lazy upload overlap
+            # the first big execution costs ~400 s through the TPU tunnel
+            # (measured, tools/proto_ppm_phases.py) vs ~4 s as an explicit
+            # bulk transfer. The scalar pull also warms the device->host
+            # path for later result reads.
+            jax.block_until_ready(self.table_j)
+            float(self.table_j[0, 0])
             # pass the device array: jnp.asarray is then a no-op, so the
             # table exists on device exactly once
             self.intersect = make_mesh_traverser_octant(
                 self.table_j, node_end, m, nodes_lo[0], nodes_hi[0])
         else:  # "skiplink": the round-1 fixed-DFS walk, kept as A/B oracle
             self.intersect = make_mesh_traverser(
-                nodes_lo, nodes_hi, meta, self.tri_a, self.tri_e1,
-                self.tri_e2, self.max_leaf)
+                nodes_lo, nodes_hi, meta, a, e1, e2, self.max_leaf)
 
     def device_consts(self):
         """The mesh's large device arrays as a pytree, for threading through
@@ -503,18 +513,22 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
     the flattened BVH. All arrays are device-resident; per-lane node pointer
     walk with gathers."""
     n_nodes = nodes_lo.shape[0]
-    nodes_lo = jnp.asarray(nodes_lo)
-    nodes_hi = jnp.asarray(nodes_hi)
-    meta_j = jnp.asarray(meta)
-    tri_a = jnp.asarray(tri_a)
-    tri_e1 = jnp.asarray(tri_e1)
-    tri_e2 = jnp.asarray(tri_e2)
+    # HOST numpy closures (fast numpy-constant lowering; device-array
+    # constants stall lowering on the tunneled TPU — see ops/lds.Sampler).
+    # This skiplink walk is the A/B oracle path, so embedded constants are
+    # acceptable; the production octant walk threads its table as a jit arg.
+    nodes_lo = np.asarray(nodes_lo)
+    nodes_hi = np.asarray(nodes_hi)
+    meta_j = np.asarray(meta)
+    tri_a = np.asarray(tri_a)
+    tri_e1 = np.asarray(tri_e1)
+    tri_e2 = np.asarray(tri_e2)
     eps = np.float32(1e-6)
 
     # mesh bounds for the coherence key's origin quantization
-    root_lo = jnp.asarray(nodes_lo[0])
-    root_inv_ext = jnp.asarray(
-        1.0 / np.maximum(nodes_hi[0] - nodes_lo[0], 1e-9))
+    root_lo = np.asarray(nodes_lo[0], np.float32)
+    root_inv_ext = np.asarray(
+        1.0 / np.maximum(nodes_hi[0] - nodes_lo[0], 1e-9), np.float32)
 
     def _coherence_key(org, d, active):
         """Sort key grouping rays that will walk similar subtrees: direction
@@ -581,6 +595,12 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
             return tuple(o.reshape(np_tot, *o.shape[2:])[:n][inv_perm]
                          for o in outs)
         inv_d = 1.0 / d
+        # convert the host-numpy closures on-trace (numpy can't be indexed
+        # by tracers); they lower via the fast numpy-constant path
+        nodes_lo_g, nodes_hi_g = jnp.asarray(nodes_lo), jnp.asarray(nodes_hi)
+        meta_g = jnp.asarray(meta_j)
+        tri_a_g = jnp.asarray(tri_a)
+        tri_e1_g, tri_e2_g = jnp.asarray(tri_e1), jnp.asarray(tri_e2)
 
         def cond(state):
             node = state[0]
@@ -589,13 +609,13 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
         def body(state):
             node, k, t_best, u_best, v_best, i_best = state
             nc = jnp.minimum(node, n_nodes - 1)
-            mt = meta_j[nc]
+            mt = meta_g[nc]
             first, count, skip = mt[:, 0], mt[:, 1], mt[:, 2]
             in_leaf = k >= 0
 
             # --- node step (k < 0): slab test (bbox.ml:40-56) ---
-            lo = nodes_lo[nc]
-            hi = nodes_hi[nc]
+            lo = nodes_lo_g[nc]
+            hi = nodes_hi_g[nc]
             t0 = (lo - org) * inv_d
             t1 = (hi - org) * inv_d
             tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
@@ -606,9 +626,9 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
 
             # --- leaf step (k >= 0): test triangle first+k ---
             j = jnp.clip(first + jnp.maximum(k, 0), 0, tri_a.shape[0] - 1)
-            a = tri_a[j]
-            e1 = tri_e1[j]
-            e2 = tri_e2[j]
+            a = tri_a_g[j]
+            e1 = tri_e1_g[j]
+            e2 = tri_e2_g[j]
             pvec = jnp.cross(d, e2)
             det = jnp.sum(e1 * pvec, axis=-1)
             det_inv = 1.0 / det

@@ -119,9 +119,14 @@ class Sampler:
         self.dimension = dimension
         self.alphas = alphas_f64(dimension)
         fixed = alphas_fixed64(dimension)
-        # Device-side constant arrays of limbs, indexed by dimension.
-        self.hi = jnp.asarray(fixed[:, 0])
-        self.lo = jnp.asarray(fixed[:, 1])
+        # HOST numpy limb tables, indexed by dimension. These deliberately
+        # stay numpy: an eagerly-created jax device array closed over by a
+        # jit becomes an MLIR constant at lowering, and materializing even a
+        # (10,) device constant pulls device->host through the TPU tunnel —
+        # measured at 60-360 s for the FIRST pull in a process. numpy
+        # constants lower via the fast host path.
+        self.hi = np.ascontiguousarray(fixed[:, 0])
+        self.lo = np.ascontiguousarray(fixed[:, 1])
 
     def get(self, offset, dimension: int):
         """Device evaluation; `dimension` is a static python int."""
@@ -129,7 +134,9 @@ class Sampler:
 
     def get_dyn(self, offset, dimension):
         """Device evaluation with a traced dimension index."""
-        return sample_fixed(self.hi[dimension], self.lo[dimension], offset)
+        hi = jnp.asarray(self.hi)[dimension]
+        lo = jnp.asarray(self.lo)[dimension]
+        return sample_fixed(hi, lo, offset)
 
     def get_f64(self, offset, dimension):
         """Host float64 oracle evaluation."""

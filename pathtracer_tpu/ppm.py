@@ -145,15 +145,20 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
     lanes = -(-total // 1024) * 1024
     chunk = min(lanes, lanes_per_call)
     n_chunks = -(-lanes // chunk)
-    local_ids = jnp.arange(chunk, dtype=jnp.int32)
-    hit_setup = make_intersector(scene, backend, mesh=mesh)
-    # mesh arrays ride as jit arguments, not closure constants (compile
-    # time: see MeshBVH.device_consts)
+    # mesh AND scene arrays ride as jit arguments, not closure constants
+    # (see MeshBVH.device_consts): lowering a closed-over DEVICE array into
+    # an MLIR constant forces a device->host pull, and the first such pull
+    # on the tunneled TPU costs 60-315 s (profiled: ArrayImpl._value inside
+    # lower_jaxpr_to_module). The path tracer threads `scene` as a traced
+    # argument for the same reason.
     consts = mesh.device_consts() if mesh is not None else None
 
     @jax.jit
-    def trace_chunk(offset_base, lane_base, mesh_consts):
-        lane_ids = local_ids + lane_base
+    def trace_chunk(offset_base, lane_base, mesh_consts, scene_t):
+        hit_setup = make_intersector(scene_t, backend, mesh=mesh)
+        # iota INSIDE the trace: a closed-over device iota is an MLIR
+        # constant too (the single biggest one measured)
+        lane_ids = jnp.arange(chunk, dtype=jnp.int32) + lane_base
         offs = lane_ids.astype(jnp.uint32) + offset_base.astype(jnp.uint32)
         u0 = sampler.get(offs, 0)
         v0 = sampler.get(offs, 1)
@@ -218,12 +223,14 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
 
     dep_rows = n_chunks * chunk * max_bounces
     if n_chunks == 1:
-        return (lambda offset_base: trace_chunk(offset_base, jnp.int32(0),
-                                                consts),
-                total, dep_rows)
+        one_chunk = lambda offset_base: trace_chunk(offset_base, jnp.int32(0),
+                                                    consts, scene)
+        one_chunk._trace_chunk = trace_chunk  # AOT phase diagnostics
+        return one_chunk, total, dep_rows
 
     def trace_photons(offset_base):
-        outs = [trace_chunk(offset_base, jnp.int32(ci * chunk), consts)
+        outs = [trace_chunk(offset_base, jnp.int32(ci * chunk), consts,
+                            scene)
                 for ci in range(n_chunks)]
         return tuple(jnp.concatenate([o[k] for o in outs])
                      for k in range(4))
@@ -378,7 +385,6 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     lane_ids = np.arange(lanes)
     xs = (lane_ids % width).astype(np.float32)
     ys_local = (lane_ids // width).astype(np.float32)
-    hit_setup = make_intersector(scene, backend, mesh=mesh)
     inv_pc = np.float32(1.0 / photon_count)
 
     gather = functools.partial(hash_gather, grid_m=grid_m,
@@ -403,7 +409,11 @@ def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
     if use_kernel:
         gather = gather_kernel
 
-    def eye_pass(offset_base, radius, grid, row0, mesh_consts=None):
+    def eye_pass(offset_base, radius, grid, row0, mesh_consts, scene_t):
+        # scene rides as a traced argument — closed-over device arrays
+        # become MLIR constants whose materialization stalls lowering on
+        # the tunneled TPU (see make_photon_pass)
+        hit_setup = make_intersector(scene_t, backend, mesh=mesh)
         # lane's global pixel = (row0 + lane//W) * W + lane%W
         pix = (row0.astype(jnp.uint32) * np.uint32(width)
                + jnp.asarray(lane_ids, jnp.uint32))
@@ -635,9 +645,12 @@ class PPMRenderer:
                 consts_dev = [jax.device_put(mesh_consts, dev)
                               for dev in devices] \
                     if mesh_consts is not None else [None] * len(devices)
+                scene_dev = [jax.device_put(self.scene, dev)
+                             for dev in devices]
             else:
                 grids = [grid]
                 consts_dev = [mesh_consts]
+                scene_dev = [self.scene]
             futures = []
             for bi in range(n_bands):
                 dev = bi % len(grids)
@@ -651,7 +664,7 @@ class PPMRenderer:
                     g_dev, jax.device_put(jnp.int32(bi * band_rows),
                                           devices[dev])
                     if len(grids) > 1 else jnp.int32(bi * band_rows),
-                    consts_dev[dev]))
+                    consts_dev[dev], scene_dev[dev]))
             img = np.concatenate([np.asarray(b, np.float64)
                                   for b in futures])[:self.height]
             img_sum += img[::-1]  # reference writes row (height-1-y)

@@ -44,9 +44,7 @@ def main():
     logging.getLogger("jax._src.interpreters.pxla").addHandler(grab)
 
     variants = [
-        ("bounces=2 pallas", dict(max_bounces=2, backend="pallas")),
-        ("bounces=3 pallas", dict(max_bounces=3, backend="pallas")),
-        ("bounces=2 xla", dict(max_bounces=2, backend="xla")),
+        ("bounces=4 pallas", dict(max_bounces=4, backend="pallas")),
     ]
     for name, kw in variants:
         grab.phases.clear()

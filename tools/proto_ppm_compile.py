@@ -13,6 +13,7 @@ from pathtracer_tpu.ppm import make_photon_pass
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "scenes/big_ganesha.ply"
+    n_photons = int(sys.argv[2]) if len(sys.argv) > 2 else 75000
     t0 = time.monotonic()
     scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
     print(f"build {time.monotonic()-t0:.1f}s ({mesh.n_tris} tris)",
@@ -22,7 +23,7 @@ def main():
     # same jit here via its public surface: call once and time phases with
     # jax.profiler-free wall clocks around lower/compile.
     trace_photons, total, dep_rows = make_photon_pass(
-        scene, lights, 75000, 4, "pallas", mesh=mesh)
+        scene, lights, n_photons, 4, "pallas", mesh=mesh)
 
     t0 = time.monotonic()
     out = trace_photons(jnp.uint32(0))
@@ -30,7 +31,7 @@ def main():
     print(f"first call (trace+compile+exec): {time.monotonic()-t0:.1f}s",
           flush=True)
     t0 = time.monotonic()
-    out = trace_photons(jnp.uint32(75000))
+    out = trace_photons(jnp.uint32(n_photons))
     jax.block_until_ready(out)
     print(f"steady call: {time.monotonic()-t0:.2f}s", flush=True)
 
