@@ -50,18 +50,19 @@ def _run():
     else:
         render = make_render_fn(cam, background, width, height, spp, bounces)
 
-    # warmup / compile
+    # warmup / compile. Timing syncs with a real device->host scalar pull:
+    # block_until_ready intermittently returns early on the tunneled axon
+    # platform (it once reported a 0.0000s render), while a d2h read can
+    # only complete after the program actually ran.
     img, segs = render(scene)
-    jax.block_until_ready((img, segs))
+    segments = int(jax.device_get(segs))
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         img, segs = render(scene)
-        jax.block_until_ready((img, segs))
+        segments = int(jax.device_get(segs))
         best = min(best, time.perf_counter() - t0)
-
-    segments = int(segs)
     mrays = segments / best / 1e6
     n_chips = len(jax.devices())
     target_per_chip = 500.0 / 8.0  # north star is 500 Mrays/s on 8 chips
