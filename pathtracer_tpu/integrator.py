@@ -21,6 +21,7 @@ live in the path tracer.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple
 
 import numpy as np
@@ -266,7 +267,9 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     return rad, segments
 
 
-DEFAULT_COMPACT_AT = (2, 4)
+DEFAULT_COMPACT_AT = tuple(
+    int(x) for x in os.environ.get("PATHTRACER_COMPACT_AT", "2,4").split(",")
+    if x.strip())
 
 
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,

@@ -235,22 +235,30 @@ class SceneBuilder:
                 tp[i, 25] = tr["ior"]
                 tp[i, 26] = 1.0 / tr["ior"]
                 tv[i] = True
-            tri_pack = jnp.asarray(tp, dtype)
+            # cast on HOST first: jnp.asarray(f64_numpy, f32) compiles a
+            # per-shape convert_element_type program on the device
+            # (0.3-0.9 s each through the TPU tunnel); a numpy cast + h2d
+            # of the final dtype compiles nothing
+            np_dtype = np.dtype(str(jnp.dtype(dtype)))
+            tri_pack = jnp.asarray(np.asarray(tp, np_dtype))
             tri_valid = jnp.asarray(tv)
+        else:
+            np_dtype = np.dtype(str(jnp.dtype(dtype)))
         clus = None  # clustered tables deferred (see integrator note)
+        host = lambda x: jnp.asarray(np.asarray(x, np_dtype))
         return SphereScene(
-            center=jnp.asarray(center, dtype),
-            radius=jnp.asarray(radius, dtype),
+            center=host(center),
+            radius=host(radius),
             mat_kind=jnp.asarray(mat_kind),
             tex_kind=jnp.asarray(tex_kind),
-            color_a=jnp.asarray(color_a, dtype),
-            color_b=jnp.asarray(color_b, dtype),
-            checker_w=jnp.asarray(checker_w, dtype),
-            checker_h=jnp.asarray(checker_h, dtype),
-            ior=jnp.asarray(ior, dtype),
-            ior_inv=jnp.asarray(1.0 / ior, dtype),
+            color_a=host(color_a),
+            color_b=host(color_b),
+            checker_w=host(checker_w),
+            checker_h=host(checker_h),
+            ior=host(ior),
+            ior_inv=host(1.0 / ior),
             valid=jnp.asarray(valid),
-            shade_pack=jnp.asarray(pack, dtype),
+            shade_pack=host(pack),
             tri_pack=tri_pack,
             tri_valid=tri_valid,
             clus_sph=None if clus is None else clus[0],
