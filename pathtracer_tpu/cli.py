@@ -246,7 +246,24 @@ def main(argv=None) -> None:
         print(f"unknown command {cmd!r}; available: {sorted(set(commands))}",
               file=sys.stderr)
         sys.exit(2)
+    _warm_device()
     commands[cmd](argv[1:])
+
+
+def _warm_device():
+    """One tiny compute + device->host roundtrip before any real work.
+
+    The tunneled TPU's FIRST d2h pull in a process is pathologically slow
+    and highly variable (60-360 s observed) when it lands mid-pipeline;
+    issued up-front against an empty queue it is cheap, and every later
+    pull runs at normal latency. Prints the cost when it is non-trivial so
+    slow startups are attributable."""
+    t0 = time.monotonic()
+    import jax.numpy as jnp
+    float((jnp.arange(8.0) + 1.0)[0])
+    dt = time.monotonic() - t0
+    if dt > 2.0:
+        print(f"device warmup: {dt:.1f}s", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

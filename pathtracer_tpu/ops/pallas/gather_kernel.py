@@ -39,10 +39,15 @@ SIDE = 1 << BITS
 CH = 128  # photons per DMA chunk (minor-dim tiling alignment)
 LANES = 128
 BLOCK_ROWS = 8
-N_OFF = 27
+# photons are sorted in RASTER order (x fastest), so each (dy, dz) row of
+# the 3x3x3 neighborhood [x-1, x+1] is ONE contiguous photon range: 9
+# stream loops instead of 27, and every in-range photon is streamed at
+# most 9x instead of 27x. (Eye hits still sort by cell MORTON key for
+# block coherence — the two orders are independent.)
+N_OFF = 9
 
-_OFFSETS = np.array([(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1)
-                     for z in (-1, 0, 1)], np.int32)
+_OFFSETS_YZ = np.array([(y, z) for y in (-1, 0, 1) for z in (-1, 0, 1)],
+                       np.int32)
 
 
 def morton3(cx, cy, cz):
@@ -59,9 +64,18 @@ def morton3(cx, cy, cz):
         jnp.int32)
 
 
+def raster3(cx, cy, cz):
+    """Dense raster cell key, x fastest: (z*SIDE + y)*SIDE + x. Any
+    [x0, x1] run at fixed (y, z) is contiguous, which is what lets the
+    gather kernel stream a whole neighborhood row in one range."""
+    return (cz * SIDE + cy) * SIDE + cx
+
+
 @jax.jit
 def build_photon_grid_morton(pos, nrm, flux, valid, lo, cell_size):
-    """Sort photons by dense Morton cell key; build exact per-cell ranges.
+    """Sort photons by dense RASTER cell key; build exact per-cell ranges.
+    (Name kept from the Morton-ordered revision; hit-side coherence still
+    uses Morton keys.)
 
     pos/nrm/flux: (Np, 3); valid: (Np,); lo: (3,) grid origin (must cover
     every valid deposit); cell_size: scalar >= gather radius.
@@ -72,7 +86,7 @@ def build_photon_grid_morton(pos, nrm, flux, valid, lo, cell_size):
     inv_c = 1.0 / cell_size
     c = jnp.floor((pos - lo[None, :]) * inv_c).astype(jnp.int32)
     c = jnp.clip(c, 0, SIDE - 1)  # valid deposits are inside by construction
-    key = morton3(c[:, 0], c[:, 1], c[:, 2])
+    key = raster3(c[:, 0], c[:, 1], c[:, 2])
     m = SIDE ** 3
     key = jnp.where(valid, key, jnp.int32(m))
     key_sorted, order = lax.sort_key_val(key,
@@ -89,25 +103,40 @@ def build_photon_grid_morton(pos, nrm, flux, valid, lo, cell_size):
 
 
 def query_tables(point, active, lo, cell_size, start, count):
-    """Per-lane (27, n) start/end tables + the lane's own cell Morton key
-    (for coherence sorting). Out-of-grid neighbor cells get empty ranges —
-    correct because the grid bbox covers every deposit."""
+    """Per-lane (9, n) start/end tables — one contiguous raster range per
+    (dy, dz) neighborhood row spanning x in [cx-1, cx+1] (clamped to the
+    grid) — plus the lane's own cell Morton key for coherence sorting.
+    Out-of-grid rows get empty ranges; empty cells inside a row cost
+    nothing extra because `start` is the exclusive cumsum over ALL raster
+    cells, so the row range covers exactly its photons."""
     inv_c = 1.0 / cell_size
     c = jnp.floor((point - lo[None, :]) * inv_c).astype(jnp.int32)  # (n, 3)
-    offs = jnp.asarray(_OFFSETS)  # (27, 3)
-    cc = c[None, :, :] + offs[:, None, :]  # (27, n, 3)
-    in_grid = jnp.all((cc >= 0) & (cc < SIDE), axis=-1)  # (27, n)
-    ccl = jnp.clip(cc, 0, SIDE - 1)
-    key = morton3(ccl[..., 0], ccl[..., 1], ccl[..., 2])  # (27, n)
+    offs = jnp.asarray(_OFFSETS_YZ)  # (9, 2) = (dy, dz)
+    yy = c[None, :, 1] + offs[:, 0:1]  # (9, n)
+    zz = c[None, :, 2] + offs[:, 1:2]
+    in_grid = ((yy >= 0) & (yy < SIDE) & (zz >= 0) & (zz < SIDE)
+               & (c[None, :, 0] >= -1) & (c[None, :, 0] <= SIDE))
+    yyl = jnp.clip(yy, 0, SIDE - 1)
+    zzl = jnp.clip(zz, 0, SIDE - 1)
+    x_lo = jnp.clip(c[None, :, 0] - 1, 0, SIDE - 1)
+    x_hi = jnp.clip(c[None, :, 0] + 1, 0, SIDE - 1)
+    key_lo = raster3(x_lo, yyl, zzl)  # (9, n)
+    key_hi = raster3(x_hi, yyl, zzl)
     ok = in_grid & active[None, :]
-    s = jnp.where(ok, start[key], 0)
-    e = jnp.where(ok, s + count[key], 0)
+    s = jnp.where(ok, start[key_lo], 0)
+    e = jnp.where(ok, start[key_hi] + count[key_hi], 0)
     own_key = morton3(*(jnp.clip(c, 0, SIDE - 1).T))
     return s, e, own_key
 
 
 def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
             scratch, sem):
+    """scratch: (2, 16, CH) SMEM double buffer; sem: DMA((2,)).
+
+    Each offset's chunk loop is double-buffered: the next 128-photon DMA
+    is launched before the current chunk is processed, so HBM streaming
+    hides under the ~20 VPU ops/photon broadcast (serial start->wait
+    measured ~1.8x slower at cornell-default photon densities)."""
     x, y, z = hits_ref[0], hits_ref[1], hits_ref[2]
     nx, ny, nz = hits_ref[3], hits_ref[4], hits_ref[5]
     r = r_ref[0, 0]
@@ -123,39 +152,48 @@ def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
         smin = jnp.min(jnp.where(has, s, jnp.int32(1 << 30)))
         emax = jnp.max(e)
         c0 = (smin // CH) * CH
+        n_chunks = jnp.maximum(0, (emax - c0 + CH - 1) // CH)
 
-        def chunk_body(carry):
-            c, a0, a1, a2 = carry
-            c_al = pl.multiple_of(c, CH)  # provably 128-aligned DMA offset
-            dma = pltpu.make_async_copy(
-                photons_hbm.at[:, pl.ds(c_al, CH)], scratch, sem)
-            dma.start()
-            dma.wait()
+        def get_dma(slot, ci):
+            off = pl.multiple_of(c0 + ci * CH, CH)  # 128-aligned DMA
+            return pltpu.make_async_copy(
+                photons_hbm.at[:, pl.ds(off, CH)], scratch.at[slot],
+                sem.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _warmup():
+            get_dma(0, 0).start()
+
+        def chunk_body(ci, accs):
+            slot = lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _prefetch():
+                get_dma(lax.rem(ci + 1, 2), ci + 1).start()
+
+            get_dma(slot, ci).wait()
+            c = c0 + ci * CH
 
             def photon_body(j, accs):
                 a0, a1, a2 = accs
                 idx = c + j
-                dx = scratch[0, j] - x
-                dy = scratch[1, j] - y
-                dz = scratch[2, j] - z
+                dx = scratch[slot, 0, j] - x
+                dy = scratch[slot, 1, j] - y
+                dz = scratch[slot, 2, j] - z
                 d2 = dx * dx + dy * dy + dz * dz
-                ndot = (scratch[3, j] * nx + scratch[4, j] * ny
-                        + scratch[5, j] * nz)
+                ndot = (scratch[slot, 3, j] * nx + scratch[slot, 4, j] * ny
+                        + scratch[slot, 5, j] * nz)
                 inr = (idx >= s) & (idx < e)
                 ok = inr & (d2 < r2) & (ndot > np.float32(1e-3))
                 w = 1.0 - jnp.sqrt(d2) * inv_r  # cone filter k=1
                 wf = jnp.where(ok, w, 0.0)
-                return (a0 + wf * scratch[6, j], a1 + wf * scratch[7, j],
-                        a2 + wf * scratch[8, j])
+                return (a0 + wf * scratch[slot, 6, j],
+                        a1 + wf * scratch[slot, 7, j],
+                        a2 + wf * scratch[slot, 8, j])
 
-            a0, a1, a2 = lax.fori_loop(0, CH, photon_body, (a0, a1, a2))
-            return c + CH, a0, a1, a2
+            return lax.fori_loop(0, CH, photon_body, accs)
 
-        def chunk_cond(carry):
-            return carry[0] < emax
-
-        _, *acc = lax.while_loop(chunk_cond, chunk_body, (c0, *acc))
-        acc = tuple(acc)
+        acc = lax.fori_loop(0, n_chunks, chunk_body, acc)
 
     out_ref[0], out_ref[1], out_ref[2] = acc
 
@@ -188,8 +226,8 @@ def gather_flux_pallas(point, normal, s_tab, e_tab, photons_t, radius,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=spec3(3),
         out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((16, CH), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SMEM((2, 16, CH), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(r_in, hits, s_r, e_r, photons_t)
     return out.reshape(3, n).T
