@@ -100,3 +100,39 @@ def test_gather_kernel_hit_outside_grid():
     assert (got[:512] == 0.0).all()
     want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
     np.testing.assert_allclose(got[512:], want[512:], rtol=2e-4, atol=2e-5)
+
+
+def test_gather_kernel_hit_one_cell_outside_edge():
+    """A hit in cell -1 (just outside the deposit bbox) must still gather
+    in-radius photons from edge cell 0 — the reference gathers by distance
+    (ppm.ml:344-371), not by grid membership. Exercises the raster-range
+    x-clamp at both ends."""
+    r = 0.05
+    cell = np.float32(max(r, 1.0 / gk.SIDE))
+    lo = np.zeros(3, np.float32)
+    # photons hugging the low-x face and the high-x face, inside the grid
+    pos = np.array([[0.01, 0.5, 0.5], [1.0 / gk.SIDE * gk.SIDE - 0.001,
+                                       0.5, 0.5]], np.float32)
+    pos = np.repeat(pos, 4, axis=0)
+    nrm = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (8, 1))
+    flux = np.ones((8, 3), np.float32)
+    valid = np.ones(8, bool)
+    # hits just OUTSIDE each face, within the gather radius of the photons
+    point = np.zeros((1024, 3), np.float32)
+    point[:, 1:] = 0.5
+    point[0::2, 0] = -0.02       # cell -1 on the low side
+    point[1::2, 0] = pos[-1, 0] + 0.02  # one cell past the high side
+    normal = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (1024, 1))
+    active = np.ones(1024, bool)
+    tbl, start, count = gk.build_photon_grid_morton(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid), jnp.asarray(lo), cell)
+    s_tab, e_tab, own = gk.query_tables(jnp.asarray(point),
+                                        jnp.asarray(active),
+                                        jnp.asarray(lo), cell, start, count)
+    got = np.asarray(gk.gather_flux_pallas(
+        jnp.asarray(point), jnp.asarray(normal), s_tab, e_tab, tbl,
+        np.float32(r), interpret=True))
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    assert want.sum() > 0  # the oracle must actually see those photons
