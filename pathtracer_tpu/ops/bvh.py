@@ -417,12 +417,20 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
         hit = t < jnp.minimum(t_max0, BIG)
         return t, u, v, idx, hit
 
-    def intersect(org, d, t_max0=None, active=None, chunk=4096, table=None):
+    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None):
         """table: pass the mesh's walk table as a TRACED jit argument to
         avoid embedding it as an HLO constant — a closed-over 22 MB table
         costs ~160 s of XLA compile vs ~tens of seconds as an argument
         (measured, tools/proto_const_compile.py). Defaults to the captured
-        table for interactive/test use."""
+        table for interactive/test use.
+
+        chunk=512 from a measured device cost model (tools/proto_walk_steps
+        + tools/bench_mesh_walk on the 449k-tri mesh):
+        ~22.5 ns per lane-step + ~5 us per sequential step, with per-lane
+        steps mean 38 / p95 79 / max 332 but chunk-worst ~6x the mean.
+        600x600 eye rays: 512 -> 1.20 s, 1024 -> 1.44 s, 4096 -> 2.01 s,
+        16384 -> 3.36 s, unchunked -> 5.84 s (full-width gathers lose
+        locality; never unchunk large calls)."""
         n = org.shape[0]
         if t_max0 is None:
             t_max0 = jnp.full((n,), BIG)
@@ -474,6 +482,7 @@ class MeshBVH:
             # unified-table ordered walk (one gather per step)
             table, node_end, m = build_walk_table(nodes_lo, nodes_hi, meta,
                                                   axes, a, e1, e2)
+            self.node_end, self.m_nodes = node_end, m
             self.table_j = jnp.asarray(table)
             # Force the host->device upload to COMPLETE here, before any
             # program consumes the table: letting the lazy upload overlap
@@ -549,7 +558,7 @@ def make_mesh_traverser(nodes_lo, nodes_hi, meta, tri_a, tri_e1, tri_e2,
         key = (oct_ << 27) | (dm << 12) | om
         return jnp.where(active, key, jnp.int32(2 ** 30))
 
-    def intersect(org, d, t_max0=None, active=None, chunk=4096, table=None):
+    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None):
         """Chunked lockstep walk with a per-lane leaf cursor: each while
         iteration
         (`table` is accepted for interface parity with the octant walk and

@@ -63,7 +63,7 @@ def main():
         reps = 5
         for _ in range(reps):
             out = fn(org_j, d_j)
-        jax.block_until_ready(out)
+        float(out[0][0])  # real d2h sync (block_until_ready lies on axon)
         dt = (time.monotonic() - t0) / reps
         hits = np.asarray(out[4]).mean()
         results[walk] = (compile_s, dt)
