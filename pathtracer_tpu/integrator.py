@@ -557,9 +557,11 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
                            dtype, intersect_fn, select_mode=select_mode,
                            backend=backend, mesh=mesh)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
-    pb = passes_per_batch or 1
+    pb = passes_per_batch or int(os.environ.get("PATHTRACER_PB", "1"))
     if chains is None:
-        chains = 2 if (spp // pb) % 2 == 0 else 1
+        env_c = os.environ.get("PATHTRACER_CHAINS")
+        chains = (int(env_c) if env_c
+                  else 2 if (spp // pb) % 2 == 0 else 1)
     steps = spp // pb // chains
 
     @jax.jit
