@@ -562,6 +562,8 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
         env_c = os.environ.get("PATHTRACER_CHAINS")
         chains = (int(env_c) if env_c
                   else 2 if (spp // pb) % 2 == 0 else 1)
+    if (spp // pb) % chains != 0:  # tuning knobs must not break renders
+        chains = 2 if (spp // pb) % 2 == 0 else 1
     steps = spp // pb // chains
 
     @jax.jit

@@ -351,20 +351,29 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
     eps = np.float32(1e-6)
     key_fn = _coherence_key_fn(root_lo, root_hi)
 
-    def make_one(table_j):
-        return lambda org, d, t_max0, active: one(table_j, org, d, t_max0,
-                                                  active)
-
-    def one(table_j, org, d, t_max0, active):
-        n = org.shape[0]
-        inv_d = 1.0 / d
+    def init_state(d, t_max0, active):
+        n = d.shape[0]
         oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
                 + (d[:, 2] < 0)).astype(jnp.int32)
         ptr0 = jnp.where(active, oct_ * m_nodes, done)
-        t_best0 = jnp.minimum(t_max0, BIG)
+        return (ptr0, jnp.full((n,), done, jnp.int32),
+                jnp.minimum(t_max0, BIG), jnp.zeros((n,)), jnp.zeros((n,)),
+                jnp.zeros((n,), jnp.int32))
 
-        def cond(state):
-            return jnp.any(state[0] != done)
+    def walk_pass(table_j, org, d, state, cap):
+        """Advance every lane by at most `cap` walk steps (cap=0: run to
+        completion). state = (ptr, lret, t_best, u_best, v_best, i_best);
+        a finished lane has ptr == done and is inert."""
+        inv_d = 1.0 / d
+
+        def cond(sk):
+            state, k = sk
+            live = jnp.any(state[0] != done)
+            return (live & (k < cap)) if cap else live
+
+        def body_k(sk):
+            state, k = sk
+            return body(state), k + 1
 
         def body(state):
             ptr, lret, t_best, u_best, v_best, i_best = state
@@ -410,14 +419,17 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
             lret = jnp.where(box_hit & is_leaf, skp, lret)
             return nxt, lret, t_best, u_best, v_best, i_best
 
-        init = (ptr0, jnp.full((n,), done, jnp.int32), t_best0,
-                jnp.zeros((n,)), jnp.zeros((n,)),
-                jnp.zeros((n,), jnp.int32))
-        _, _, t, u, v, idx = lax.while_loop(cond, body, init)
+        state, _ = lax.while_loop(cond, body_k, (state, jnp.int32(0)))
+        return state
+
+    def one(table_j, org, d, t_max0, active):
+        state = walk_pass(table_j, org, d, init_state(d, t_max0, active), 0)
+        _, _, t, u, v, idx = state
         hit = t < jnp.minimum(t_max0, BIG)
         return t, u, v, idx, hit
 
-    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None):
+    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None,
+                  caps=(48, 96, 0)):
         """table: pass the mesh's walk table as a TRACED jit argument to
         avoid embedding it as an HLO constant — a closed-over 22 MB table
         costs ~160 s of XLA compile vs ~tens of seconds as an argument
@@ -430,16 +442,63 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
         steps mean 38 / p95 79 / max 332 but chunk-worst ~6x the mean.
         600x600 eye rays: 512 -> 1.20 s, 1024 -> 1.44 s, 4096 -> 2.01 s,
         16384 -> 3.36 s, unchunked -> 5.84 s (full-width gathers lose
-        locality; never unchunk large calls)."""
+        locality; never unchunk large calls).
+
+        caps: capped multi-pass schedule. Chunk cost is its own worst
+        lane (~6x the mean steps), so each pass caps every chunk's step
+        count, then lanes RESORT by (finished, current ptr) — survivors
+        from everywhere regroup into few step-coherent chunks and the
+        finished majority collapses into all-dead chunks that exit in one
+        step. The final 0 (uncapped) pass guarantees completion. Bit-exact
+        vs the single-pass walk: per-lane state updates are independent of
+        chunk grouping."""
         n = org.shape[0]
         if t_max0 is None:
             t_max0 = jnp.full((n,), BIG)
         if active is None:
             active = jnp.ones((n,), bool)
-        fn = make_one(table_default if table is None else table)
-        if chunk and n > chunk:
-            return _chunked(fn, key_fn, org, d, t_max0, active, chunk)
-        return fn(org, d, t_max0, active)
+        tbl = table_default if table is None else table
+        if not (chunk and n > chunk):
+            return one(tbl, org, d, t_max0, active)
+
+        # sort by the static coherence key, pad to a chunk multiple
+        perm = jnp.argsort(key_fn(org, d, active))
+        org, d = org[perm], d[perm]
+        t_max0, active = t_max0[perm], active[perm]
+        lane_id = perm.astype(jnp.int32)
+        pad = (-n) % chunk
+        if pad:
+            org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            t_max0 = jnp.concatenate([t_max0,
+                                      jnp.zeros((pad,), t_max0.dtype)])
+            active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+            lane_id = jnp.concatenate([lane_id,
+                                       jnp.full((pad,), n, jnp.int32)])
+        n_tot = n + pad
+        state = init_state(d, t_max0, active)
+
+        def run_chunked(cap, org, d, state):
+            rsh = lambda x: x.reshape(-1, chunk, *x.shape[1:])
+            out = lax.map(
+                lambda a: walk_pass(tbl, a[0], a[1], tuple(a[2]), cap),
+                (rsh(org), rsh(d), tuple(rsh(s) for s in state)))
+            return tuple(o.reshape(n_tot) for o in out)
+
+        for pi, cap in enumerate(caps):
+            if pi:  # regroup: finished lanes last, survivors by ptr
+                key2 = jnp.where(state[0] == done, jnp.int32(2 ** 30),
+                                 state[0])
+                p2 = jnp.argsort(key2)
+                org, d = org[p2], d[p2]
+                t_max0, lane_id = t_max0[p2], lane_id[p2]
+                state = tuple(s[p2] for s in state)
+            state = run_chunked(cap, org, d, state)
+
+        t, u, v, idx = state[2], state[3], state[4], state[5]
+        hit = t < jnp.minimum(t_max0, BIG)
+        inv = jnp.argsort(lane_id)
+        return tuple(o[inv][:n] for o in (t, u, v, idx, hit))
 
     return intersect
 

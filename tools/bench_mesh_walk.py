@@ -46,14 +46,17 @@ def main():
     org_j, d_j = jnp.asarray(org), jnp.asarray(d)
 
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    caps = (tuple(int(x) for x in sys.argv[4].split(","))
+            if len(sys.argv) > 4 else (48, 96, 0))
     results = {}
     for walk in (["octant", "skiplink"] if which == "both" else [which]):
         t0 = time.monotonic()
         mesh = MeshBVH(vc, faces, mat, length_cutoff=8, walk=walk)
         print(f"[{walk}] build {time.monotonic()-t0:.2f}s "
               f"depth={mesh.depth}", flush=True)
+        kw = {"caps": caps} if walk == "octant" else {}
         jfn = jax.jit(lambda o, dd, tbl, m=mesh: m.intersect(
-            o, dd, chunk=chunk, table=tbl))
+            o, dd, chunk=chunk, table=tbl, **kw))
         fn = lambda o, dd: jfn(o, dd, mesh.table_j)
         t0 = time.monotonic()
         out = fn(org_j, d_j)
