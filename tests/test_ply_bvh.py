@@ -180,3 +180,24 @@ def test_ganesha_pipeline_tiny(tmp_path):
     img = rend.render()
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_multipass_walk_bit_exact_vs_single_pass():
+    """The capped multi-pass walk (mid-walk resort by (finished, ptr))
+    must be BIT-exact vs one uncapped pass: per-lane walk state is
+    independent of chunk grouping and pass boundaries."""
+    verts, faces = _mesh(150, seed=5)
+    mat = np.zeros(12, np.float32)
+    m = MeshBVH(verts, faces, mat, walk="octant")
+    rs = np.random.RandomState(7)
+    n = 1111  # odd: exercises padding too
+    org = rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    t_max = np.where(rs.rand(n) < 0.5, 3.0, 1e30).astype(np.float32)
+    active = rs.rand(n) > 0.25
+    a = m.intersect(jnp.asarray(org), jnp.asarray(d), jnp.asarray(t_max),
+                    jnp.asarray(active), chunk=128, caps=(8, 16, 0))
+    b = m.intersect(jnp.asarray(org), jnp.asarray(d), jnp.asarray(t_max),
+                    jnp.asarray(active), chunk=128, caps=(0,))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
