@@ -370,7 +370,7 @@ def hash_gather(point, normal, active, radius, grid, grid_m,
     return acc.reshape(-1, 3)[:n][inv_perm]
 
 
-def make_eye_pass(scene: Scene, camera: Camera, width: int, height: int,
+def make_eye_pass(camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
                   backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
                   mesh=None, band_rows: int = 64, use_kernel: bool = False):
@@ -570,7 +570,7 @@ class PPMRenderer:
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
                 eye_passes[band_rows] = jax.jit(make_eye_pass(
-                    self.scene, self.camera, self.width, self.height,
+                    self.camera, self.width, self.height,
                     self.max_bounces, self.photon_count, dep_lanes,
                     self.backend, mesh=self.mesh, band_rows=band_rows,
                     use_kernel=use_kernel))

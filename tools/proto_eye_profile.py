@@ -44,7 +44,7 @@ def main():
     print(f"grid build: {time.monotonic()-t0:.2f}s", flush=True)
 
     band_rows = 64
-    eye_fn = jax.jit(P.make_eye_pass(scene, camera, W, H, 4, 75000,
+    eye_fn = jax.jit(P.make_eye_pass(camera, W, H, 4, 75000,
                                      dep_lanes, "pallas",
                                      band_rows=band_rows, use_kernel=True))
     # compile once
