@@ -267,9 +267,16 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     return rad, segments
 
 
-DEFAULT_COMPACT_AT = tuple(
-    int(x) for x in os.environ.get("PATHTRACER_COMPACT_AT", "2,4").split(",")
-    if x.strip())
+def _env_compact_at():
+    try:
+        return tuple(int(x) for x in
+                     os.environ.get("PATHTRACER_COMPACT_AT", "2,4").split(",")
+                     if x.strip())
+    except ValueError:  # malformed knob must not break imports
+        return (2, 4)
+
+
+DEFAULT_COMPACT_AT = _env_compact_at()
 
 
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
@@ -558,11 +565,13 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
                            backend=backend, mesh=mesh)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
     pb = passes_per_batch or int(os.environ.get("PATHTRACER_PB", "1"))
+    if pb < 1 or spp % pb != 0:  # tuning knobs must not break renders
+        pb = 1
     if chains is None:
         env_c = os.environ.get("PATHTRACER_CHAINS")
         chains = (int(env_c) if env_c
                   else 2 if (spp // pb) % 2 == 0 else 1)
-    if (spp // pb) % chains != 0:  # tuning knobs must not break renders
+    if chains < 1 or (spp // pb) % chains != 0:
         chains = 2 if (spp // pb) % 2 == 0 else 1
     steps = spp // pb // chains
 

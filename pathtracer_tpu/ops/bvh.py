@@ -301,30 +301,6 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
     return key
 
 
-def _chunked(one, key_fn, org, d, t_max0, active, chunk):
-    """Coherence-sort lanes, pad to a chunk multiple, and run `one` per
-    chunk under lax.map. Chunking bounds each while_loop's iteration count
-    by its own worst lane instead of the global worst lane; inactive lanes
-    sort to the tail and exit immediately."""
-    n = org.shape[0]
-    perm = jnp.argsort(key_fn(org, d, active))
-    inv_perm = jnp.argsort(perm)
-    org, d = org[perm], d[perm]
-    t_max0, active = t_max0[perm], active[perm]
-    pad = (-n) % chunk
-    if pad:
-        zpad = jnp.zeros((pad, 3), org.dtype)
-        org = jnp.concatenate([org, zpad])
-        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-        t_max0 = jnp.concatenate([t_max0, jnp.zeros((pad,), t_max0.dtype)])
-        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
-    n_tot = n + pad
-    outs = lax.map(lambda args: one(*args),
-                   (org.reshape(-1, chunk, 3), d.reshape(-1, chunk, 3),
-                    t_max0.reshape(-1, chunk), active.reshape(-1, chunk)))
-    return tuple(o.reshape(n_tot, *o.shape[2:])[:n][inv_perm] for o in outs)
-
-
 def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
                                root_hi):
     """intersect(org, d, t_max0, active) -> (t, u, v, idx, hit) via the
@@ -457,6 +433,8 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
             t_max0 = jnp.full((n,), BIG)
         if active is None:
             active = jnp.ones((n,), bool)
+        if not caps or caps[-1] != 0:
+            caps = tuple(caps) + (0,)  # completion is not optional
         tbl = table_default if table is None else table
         if not (chunk and n > chunk):
             return one(tbl, org, d, t_max0, active)

@@ -202,8 +202,9 @@ def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
 def gather_flux_pallas(point, normal, s_tab, e_tab, photons_t, radius,
                        interpret=False):
     """Cone-filter gather for n eye hits (n % 1024 == 0, ideally sorted by
-    cell Morton key). point/normal: (n, 3); s_tab/e_tab: (27, n) i32;
-    photons_t: (16, Np_pad); radius: scalar. Returns flux (n, 3)."""
+    cell Morton key). point/normal: (n, 3); s_tab/e_tab: (N_OFF=9, n) i32
+    raster ranges from query_tables; photons_t: (16, Np_pad); radius:
+    scalar. Returns flux (n, 3)."""
     n = point.shape[0]
     assert n % (BLOCK_ROWS * LANES) == 0, n
     rows = n // LANES

@@ -235,6 +235,7 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         return tuple(jnp.concatenate([o[k] for o in outs])
                      for k in range(4))
 
+    trace_photons._trace_chunk = trace_chunk  # AOT phase diagnostics
     return trace_photons, total, dep_rows
 
 
@@ -586,6 +587,7 @@ class PPMRenderer:
                 start_iter = int(ck["next_iteration"])
                 if self.verbose:
                     print(f"resuming from iteration {start_iter}", flush=True)
+        consts_dev = scene_dev = None
         for i in range(start_iter, self.iterations):
             t_iter = time.monotonic()
             r = self.radius(i + 1)
@@ -638,19 +640,22 @@ class PPMRenderer:
             # This is the domainslib tile fan-out (integrator.ml:141-151)
             # for the photon mapper.
             devices = self.devices or jax.devices()
-            mesh_consts = (self.mesh.device_consts()
-                           if self.mesh is not None else None)
             if len(devices) > 1:
                 grids = [jax.device_put(grid, dev) for dev in devices]
-                consts_dev = [jax.device_put(mesh_consts, dev)
-                              for dev in devices] \
-                    if mesh_consts is not None else [None] * len(devices)
-                scene_dev = [jax.device_put(self.scene, dev)
-                             for dev in devices]
             else:
                 grids = [grid]
-                consts_dev = [mesh_consts]
-                scene_dev = [self.scene]
+            if consts_dev is None:  # iteration-invariant: broadcast once
+                mesh_consts = (self.mesh.device_consts()
+                               if self.mesh is not None else None)
+                if len(devices) > 1:
+                    consts_dev = [jax.device_put(mesh_consts, dev)
+                                  for dev in devices] \
+                        if mesh_consts is not None else [None] * len(devices)
+                    scene_dev = [jax.device_put(self.scene, dev)
+                                 for dev in devices]
+                else:
+                    consts_dev = [mesh_consts]
+                    scene_dev = [self.scene]
             futures = []
             for bi in range(n_bands):
                 dev = bi % len(grids)
