@@ -555,10 +555,12 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
     """Build a jitted render(scene) -> (image (H,W,3), total segments).
 
     chains: number of INDEPENDENT pass pipelines per scan step. Two chains
-    let XLA overlap one chain's Pallas intersection with the other chain's
-    XLA-side shading (~10% on the bench); vectorized pass batching
-    (passes_per_batch > 1) fuses wavefronts instead, which loses to memory
-    pressure on this scene size.
+    paid ~10% before the fused Pallas shade kernel by overlapping one
+    chain's intersection with the other's XLA-side shading; with shading
+    in-kernel there is little left to overlap and chains=1 measures ~1%
+    faster (54.3 vs 53.9 Mrays/s across repeated runs), so 1 is the
+    default. Vectorized pass batching (passes_per_batch > 1) fuses
+    wavefronts instead, which loses to memory pressure (pb=2: 37 Mrays/s).
     """
     pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
                            dtype, intersect_fn, select_mode=select_mode,
@@ -569,8 +571,7 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
         pb = 1
     if chains is None:
         env_c = os.environ.get("PATHTRACER_CHAINS")
-        chains = (int(env_c) if env_c
-                  else 2 if (spp // pb) % 2 == 0 else 1)
+        chains = int(env_c) if env_c else 1
     if chains < 1 or (spp // pb) % chains != 0:
         chains = 2 if (spp // pb) % 2 == 0 else 1
     steps = spp // pb // chains
