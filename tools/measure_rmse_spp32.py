@@ -37,14 +37,15 @@ def main():
             "scenes/oracle_shirley_600x300_spp32_f64.npz", img=img)
         return
 
+    backend = sys.argv[2] if len(sys.argv) > 2 else None
     scene, cam, bg = shirley.build(w / h)
-    render = make_render_fn(cam, bg, w, h, spp, bounces)
+    render = make_render_fn(cam, bg, w, h, spp, bounces, backend=backend)
     img, segs = render(scene)
     img = np.asarray(img, np.float64)
     g = np.load("scenes/oracle_shirley_600x300_spp32_f64.npz")["img"]
     rmse = float(np.sqrt(np.mean((img - g) ** 2)))
     mx = float(np.abs(img - g).max())
-    print(f"TPU f32 vs CPU f64 oracle @600x300 spp=32 b=8: "
+    print(f"TPU f32 [{backend or 'default'}] vs CPU f64 oracle @600x300 spp=32 b=8: "
           f"RMSE={rmse:.2e} max={mx:.2e} (budget 1e-3)", flush=True)
 
 
