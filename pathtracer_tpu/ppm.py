@@ -371,16 +371,39 @@ def hash_gather(point, normal, active, radius, grid, grid_m,
     return acc.reshape(-1, 3)[:n][inv_perm]
 
 
+def scene_all_diffuse(scene, mesh=None) -> bool:
+    """True when no valid primitive has a specular (metal/dielectric)
+    material — then an eye path can never continue past its first hit."""
+    mk = np.asarray(scene.mat_kind)[np.asarray(scene.valid)]
+    if (mk != 0).any():
+        return False
+    if scene.tri_pack is not None and scene.tri_count > 0:
+        tv = np.asarray(scene.tri_valid)
+        if (np.asarray(scene.tri_pack)[tv, 15] != 0).any():
+            return False
+    if mesh is not None and float(np.asarray(mesh.mat_row)[0]) != 0.0:
+        return False
+    return True
+
+
 def make_eye_pass(camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
                   backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
-                  mesh=None, band_rows: int = 64, use_kernel: bool = False):
+                  mesh=None, band_rows: int = 64, use_kernel: bool = False,
+                  eff_bounces: int = None):
     """Build eye_pass(offset_base, radius, grid+deposits, row0) -> one
     `band_rows`-row band of a PPM iteration's contribution (scaled by
     1/photon_count). The driver loops bands as SEPARATE device calls — one
     monolithic eye pass can run for minutes on photon-dense iterations and
-    the tunneled TPU kills long calls."""
+    the tunneled TPU kills long calls.
+
+    eff_bounces: static cap on the specular-walk scan. For a scene with no
+    specular materials every eye path terminates at its first hit (the
+    walk only continues through Specular scatters, ppm.ml:330-343), so
+    bounces past the first are provably dead lanes; the sampler keeps the
+    max_bounces dimension count so the sample stream is unchanged."""
     sampler = Sampler(2 + max_bounces)
+    eff_bounces = max_bounces if eff_bounces is None else eff_bounces
     n_pix = width * band_rows
     lanes = -(-n_pix // 1024) * 1024
     lane_ids = np.arange(lanes)
@@ -484,7 +507,7 @@ def make_eye_pass(camera: Camera, width: int, height: int,
 
         (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok), _ = jax.lax.scan(
             bounce_body, (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok),
-            jnp.arange(max_bounces, dtype=jnp.int32))
+            jnp.arange(eff_bounces, dtype=jnp.int32))
         flux = gather(fd_pt, fd_nrm, fd_ok, radius, grid)
         area = np.float32(np.pi) * radius * radius
         normalizer = np.float32(1.0 - 2.0 / 3.0)
@@ -568,13 +591,16 @@ class PPMRenderer:
         use_kernel = (self.backend.startswith("pallas")
                       and jax.default_backend() == "tpu")
 
+        eff_bounces = (1 if scene_all_diffuse(self.scene, self.mesh)
+                       else self.max_bounces)
+
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
                 eye_passes[band_rows] = jax.jit(make_eye_pass(
                     self.camera, self.width, self.height,
                     self.max_bounces, self.photon_count, dep_lanes,
                     self.backend, mesh=self.mesh, band_rows=band_rows,
-                    use_kernel=use_kernel))
+                    use_kernel=use_kernel, eff_bounces=eff_bounces))
             return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
