@@ -639,7 +639,11 @@ class PPMRenderer:
                     pos, nrm, flux, ok, jnp.asarray(glo, jnp.float32), cell)
                 grid = (photons_t, start, count,
                         jnp.asarray(glo, jnp.float32), cell)
-                band_rows = min(64, self.height)
+                # the Pallas gather keeps even dense bands well under the
+                # tunneled device's call ceiling (~0.5 s/band measured at
+                # 256 rows on caustic-dense cornell iterations), so bands
+                # are large to amortize the ~30 ms per-call dispatch
+                band_rows = min(256, self.height)
             else:
                 order, start, count = build_photon_grid(pos, ok,
                                                         jnp.float32(r))
