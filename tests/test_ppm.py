@@ -64,3 +64,22 @@ def test_ppm_checkpoint_resume(tmp_path):
     got = PPMRenderer(scene, cam, lights, 24, 24, **kw).render(
         checkpoint_path=ck)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_scene_all_diffuse_detection():
+    """The static eye-scan cap must only engage for specular-free scenes:
+    cornell has metal+glass (full specular walk), the ganesha mesh is all
+    lambertian (walk provably dead after the first hit)."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import scene_all_diffuse
+
+    c_scene = cornell.build(1.0)[0]
+    assert not scene_all_diffuse(c_scene)
+
+    from pathtracer_tpu.scene import SceneBuilder
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -3), 1.0, mat_kind=0, color_a=(0.5, 0.5, 0.5))
+    assert scene_all_diffuse(b.build())
+    b2 = SceneBuilder()
+    b2.add_sphere((0, 0, -3), 1.0, mat_kind=1, color_a=(0.5, 0.5, 0.5))
+    assert not scene_all_diffuse(b2.build())
