@@ -46,34 +46,36 @@ def main():
     org_j, d_j = jnp.asarray(org), jnp.asarray(d)
 
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
-    caps = (tuple(int(x) for x in sys.argv[4].split(","))
-            if len(sys.argv) > 4 else (48, 96, 0))
+    caps_list = ([tuple(int(x) for x in c.split(","))
+                  for c in sys.argv[4].split(";")]
+                 if len(sys.argv) > 4 else [(48, 96, 0)])
     results = {}
     for walk in (["octant", "skiplink"] if which == "both" else [which]):
         t0 = time.monotonic()
         mesh = MeshBVH(vc, faces, mat, length_cutoff=8, walk=walk)
         print(f"[{walk}] build {time.monotonic()-t0:.2f}s "
               f"depth={mesh.depth}", flush=True)
-        kw = {"caps": caps} if walk == "octant" else {}
-        jfn = jax.jit(lambda o, dd, tbl, m=mesh: m.intersect(
-            o, dd, chunk=chunk, table=tbl, **kw))
-        fn = lambda o, dd: jfn(o, dd, mesh.table_j)
-        t0 = time.monotonic()
-        out = fn(org_j, d_j)
-        jax.block_until_ready(out)
-        compile_s = time.monotonic() - t0
-        t0 = time.monotonic()
-        reps = 5
-        for _ in range(reps):
+        for caps in (caps_list if walk == "octant" else [None]):
+            kw = {"caps": caps} if caps is not None else {}
+            jfn = jax.jit(lambda o, dd, tbl, m=mesh, kw=kw: m.intersect(
+                o, dd, chunk=chunk, table=tbl, **kw))
+            fn = lambda o, dd: jfn(o, dd, mesh.table_j)
+            t0 = time.monotonic()
             out = fn(org_j, d_j)
-        float(out[0][0])  # real d2h sync (block_until_ready lies on axon)
-        dt = (time.monotonic() - t0) / reps
-        hits = np.asarray(out[4]).mean()
-        results[walk] = (compile_s, dt)
-        print(f"[{walk}] compile+first {compile_s:.2f}s, "
-              f"steady {dt*1e3:.1f} ms/call "
-              f"({w*h/dt/1e6:.2f} Mrays/s), hit_rate={hits:.3f}",
-              flush=True)
+            float(out[0][0])
+            compile_s = time.monotonic() - t0
+            t0 = time.monotonic()
+            reps = 5
+            for _ in range(reps):
+                out = fn(org_j, d_j)
+            float(out[0][0])  # real d2h sync (block_until_ready lies)
+            dt = (time.monotonic() - t0) / reps
+            hits = np.asarray(out[4]).mean()
+            results[walk] = (compile_s, dt)
+            print(f"[{walk}] caps={caps} compile+first {compile_s:.2f}s, "
+                  f"steady {dt*1e3:.1f} ms/call "
+                  f"({w*h/dt/1e6:.2f} Mrays/s), hit_rate={hits:.3f}",
+                  flush=True)
     if len(results) == 2:
         c2, d2 = results["octant"]
         c1, d1 = results["skiplink"]
