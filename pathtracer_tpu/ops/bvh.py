@@ -27,6 +27,20 @@ from jax import lax
 BIG = np.float32(3.0e38)
 
 
+def _default_walk_caps():
+    """Multi-pass walk schedule; override with PATHTRACER_WALK_CAPS
+    (comma-separated step caps, 0 = run to completion) for on-hardware
+    tuning. Malformed values fall back to the measured default."""
+    import os
+    env = os.environ.get("PATHTRACER_WALK_CAPS")
+    if env:
+        try:
+            return tuple(int(x) for x in env.split(",") if x.strip())
+        except ValueError:
+            pass
+    return (48, 96, 0)
+
+
 def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
               cost_i=1.0, cost_t=0.25, native=True, want_axes=False):
     """Build from per-primitive bboxes. Returns (nodes_lo (M,3), nodes_hi
@@ -405,7 +419,7 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
         return t, u, v, idx, hit
 
     def intersect(org, d, t_max0=None, active=None, chunk=512, table=None,
-                  caps=(48, 96, 0)):
+                  caps=None):
         """table: pass the mesh's walk table as a TRACED jit argument to
         avoid embedding it as an HLO constant — a closed-over 22 MB table
         costs ~160 s of XLA compile vs ~tens of seconds as an argument
@@ -433,6 +447,8 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
             t_max0 = jnp.full((n,), BIG)
         if active is None:
             active = jnp.ones((n,), bool)
+        if caps is None:
+            caps = _default_walk_caps()
         if not caps or caps[-1] != 0:
             caps = tuple(caps) + (0,)  # completion is not optional
         tbl = table_default if table is None else table
