@@ -566,12 +566,20 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
                            dtype, intersect_fn, select_mode=select_mode,
                            backend=backend, mesh=mesh)
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
-    pb = passes_per_batch or int(os.environ.get("PATHTRACER_PB", "1"))
-    if pb < 1 or spp % pb != 0:  # tuning knobs must not break renders
+    if passes_per_batch:
+        pb = passes_per_batch
+    else:
+        try:  # tuning knobs must not break renders
+            pb = int(os.environ.get("PATHTRACER_PB", "1"))
+        except ValueError:
+            pb = 1
+    if pb < 1 or spp % pb != 0:
         pb = 1
     if chains is None:
-        env_c = os.environ.get("PATHTRACER_CHAINS")
-        chains = int(env_c) if env_c else 1
+        try:
+            chains = int(os.environ.get("PATHTRACER_CHAINS") or 1)
+        except ValueError:
+            chains = 1
     if chains < 1 or (spp // pb) % chains != 0:
         chains = 2 if (spp // pb) % 2 == 0 else 1
     steps = spp // pb // chains

@@ -17,17 +17,27 @@ _LIB = None
 _TRIED = False
 
 
+def _compile(src, so):
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread", src,
+         "-o", so + ".tmp"],
+        check=True, capture_output=True)
+    os.replace(so + ".tmp", so)
+
+
 def _compile_and_load():
     src = os.path.join(_DIR, "bvh_build.cc")
     so = os.path.join(_DIR, "libbvh.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
-             "-o", so + ".tmp"],
-            check=True, capture_output=True)
-        os.replace(so + ".tmp", so)
-    lib = ctypes.CDLL(so)
+        _compile(src, so)
+    try:
+        lib = ctypes.CDLL(so)
+        lib.bvh_build2  # stale-but-newer .so (e.g. after a checkout):
+        lib.bvh_flatten_octants  # missing symbols force a rebuild
+    except (OSError, AttributeError):
+        _compile(src, so)
+        lib = ctypes.CDLL(so)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.bvh_build.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,

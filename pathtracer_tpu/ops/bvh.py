@@ -40,7 +40,12 @@ def _default_walk_caps():
     env = os.environ.get("PATHTRACER_WALK_CAPS")
     if env:
         try:
-            return tuple(int(x) for x in env.split(",") if x.strip())
+            caps = tuple(int(x) for x in env.split(",") if x.strip())
+            # a negative cap would make its pass a silent no-op that still
+            # pays a resort; only the trailing 0 (= run to completion) is
+            # a legal non-positive entry
+            if caps and all(c > 0 for c in caps[:-1]) and caps[-1] >= 0:
+                return caps
         except ValueError:
             pass
     return (64, 0)

@@ -379,7 +379,8 @@ def scene_all_diffuse(scene, mesh=None) -> bool:
         return False
     if scene.tri_pack is not None and scene.tri_count > 0:
         tv = np.asarray(scene.tri_valid)
-        if (np.asarray(scene.tri_pack)[tv, 15] != 0).any():
+        from .scene import TRI_MAT
+        if (np.asarray(scene.tri_pack)[tv, TRI_MAT.start] != 0).any():
             return False
     if mesh is not None and float(np.asarray(mesh.mat_row)[0]) != 0.0:
         return False
