@@ -35,6 +35,7 @@ def _compile_and_load():
         lib = ctypes.CDLL(so)
         lib.bvh_build2  # stale-but-newer .so (e.g. after a checkout):
         lib.bvh_flatten_octants  # missing symbols force a rebuild
+        lib.bvh4_table_rows
     except (OSError, AttributeError):
         _compile(src, so)
         lib = ctypes.CDLL(so)
@@ -51,6 +52,12 @@ def _compile_and_load():
     lib.bvh_flatten_octants.argtypes = [i32p, i32p, ctypes.c_int,
                                         i32p, i32p, i32p]
     lib.bvh_flatten_octants.restype = None
+    lib.bvh4_table_rows.argtypes = [i32p, ctypes.c_int, i32p]
+    lib.bvh4_table_rows.restype = ctypes.c_int64
+    lib.bvh4_table_fill.argtypes = [f32p, f32p, i32p, i32p, ctypes.c_int,
+                                    f32p, f32p, f32p, ctypes.c_int,
+                                    f32p, ctypes.c_int64, ctypes.c_int32]
+    lib.bvh4_table_fill.restype = None
     return lib
 
 
@@ -94,6 +101,29 @@ def bvh_build_native(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
                       nodes_lo, nodes_hi, meta, order, depth)
     return (nodes_lo[:m].copy(), nodes_hi[:m].copy(), meta[:m].copy(),
             order.astype(np.int64), int(depth[0]))
+
+
+def bvh4_table_native(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
+                      tri_e2):
+    """C++ BVH4 walk-table build (8 octant fills on threads); returns
+    (table (R,32) f32, node_end, stride) or None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    meta = np.ascontiguousarray(meta, np.int32)
+    axes = np.ascontiguousarray(axes, np.int32)
+    m = meta.shape[0]
+    stride = np.zeros(1, np.int32)
+    rows = lib.bvh4_table_rows(meta, m, stride)
+    table = np.empty((rows, 32), np.float32)
+    lib.bvh4_table_fill(
+        np.ascontiguousarray(nodes_lo, np.float32),
+        np.ascontiguousarray(nodes_hi, np.float32), meta, axes, m,
+        np.ascontiguousarray(tri_a, np.float32),
+        np.ascontiguousarray(tri_e1, np.float32),
+        np.ascontiguousarray(tri_e2, np.float32),
+        len(tri_a), table, rows, int(stride[0]))
+    return table, 8 * int(stride[0]), int(stride[0])
 
 
 def bvh_flatten_octants_native(meta, axes):

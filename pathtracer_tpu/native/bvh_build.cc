@@ -14,6 +14,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <future>
+#include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -309,6 +312,230 @@ int bvh_build2(const float* prim_lo, const float* prim_hi, int n,
   std::memcpy(order_out, b.order.data(), 4 * b.order.size());
   depth_out[0] = b.max_depth;
   return m;
+}
+
+// ---- BVH4 re-entry walk table (ops/bvh.py build_walk_table4: layout &
+// phase-encoded pointer semantics) ----
+//
+// Collapses the binary tree two levels at a time: each inner node's row
+// tests up to 4 grandchild/child-leaf boxes at once; triangles pack two
+// per 32-col row. Pointers are row*4+phase; a child's subtree exit
+// re-enters its parent at phase i+1. The 8 octant regions are
+// structurally identical (only child order differs), so `stride` is
+// computed once and the fills run on 8 threads.
+
+namespace {
+
+// elements of the collapsed node: binary child if leaf, else its children
+static inline int collapse4(const int32_t* meta, int ci, int els[4]) {
+  int l = ci + 1;
+  int r = meta[3 * l + 2];
+  int k = 0;
+  for (int y : {l, r}) {
+    if (meta[3 * y + 1] > 0) {
+      els[k++] = y;
+    } else {
+      int yl = y + 1;
+      els[k++] = yl;
+      els[k++] = meta[3 * yl + 2];
+    }
+  }
+  return k;
+}
+
+struct Oct4Filler {
+  const float* nlo;
+  const float* nhi;
+  const int32_t* meta;
+  const int32_t* axes;
+  const int64_t* size4;
+  const int64_t* pair_first;
+  int64_t node_end, done;
+  const float* tri_a;
+  const float* tri_e1;
+  const float* tri_e2;
+  float* table;  // (rows, 32)
+
+  void near_order(int ci, int o, int els[4], int* k_out) const {
+    int l = ci + 1;
+    int r = meta[3 * l + 2];
+    bool negp = (o >> (2 - axes[ci])) & 1;
+    int outer[2] = {negp ? r : l, negp ? l : r};
+    int k = 0;
+    for (int oi = 0; oi < 2; ++oi) {
+      int y = outer[oi];
+      if (meta[3 * y + 1] > 0) {
+        els[k++] = y;
+      } else {
+        int yl = y + 1;
+        int yr = meta[3 * yl + 2];
+        bool neg = (o >> (2 - axes[y])) & 1;
+        els[k++] = neg ? yr : yl;
+        els[k++] = neg ? yl : yr;
+      }
+    }
+    *k_out = k;
+  }
+
+  void fill(int o, int64_t stride) const {
+    const float kNaN = std::numeric_limits<float>::quiet_NaN();
+    int64_t base = (int64_t)o * stride;
+    int64_t done_ptr = 4 * done;
+    struct Item {
+      int32_t ci;
+      int64_t row, exit_ptr;  // exit_ptr is phase-encoded
+    };
+    std::vector<Item> stack;
+    stack.push_back({0, base, done_ptr});
+    while (!stack.empty()) {
+      Item it = stack.back();
+      stack.pop_back();
+      float* row = table + 32 * it.row;
+      int32_t* rowi = (int32_t*)row;
+      for (int c = 0; c < 32; ++c) row[c] = kNaN;
+      if (meta[3 * it.ci + 1] > 0) {  // leaf root: degenerate 1-child row
+        std::memcpy(row, nlo + 3 * it.ci, 12);
+        std::memcpy(row + 3, nhi + 3 * it.ci, 12);
+        rowi[24] = (int32_t)(4 * (node_end + pair_first[it.ci]));
+        rowi[25] = rowi[26] = rowi[27] = (int32_t)done_ptr;
+        rowi[28] = (int32_t)it.exit_ptr;
+        rowi[29] = 1;
+        continue;
+      }
+      int els[4], k;
+      near_order(it.ci, o, els, &k);
+      int64_t entry = it.row + 1;
+      rowi[24] = rowi[25] = rowi[26] = rowi[27] = (int32_t)done_ptr;
+      for (int i = 0; i < k; ++i) {
+        int e = els[i];
+        std::memcpy(row + 6 * i, nlo + 3 * e, 12);
+        std::memcpy(row + 6 * i + 3, nhi + 3 * e, 12);
+        int64_t ex = (i + 1 < k) ? 4 * it.row + i + 1 : it.exit_ptr;
+        if (meta[3 * e + 1] > 0) {  // leaf child: direct tri entry
+          rowi[24 + i] = (int32_t)(4 * (node_end + pair_first[e]));
+        } else {
+          rowi[24 + i] = (int32_t)(4 * entry);
+          stack.push_back({e, entry, ex});
+          entry += size4[e];
+        }
+      }
+      rowi[28] = (int32_t)it.exit_ptr;
+      rowi[29] = k;
+    }
+  }
+};
+
+}  // namespace
+
+// Phase 1: sizes. Returns total rows; stride_out[0] = per-octant row count.
+int64_t bvh4_table_rows(const int32_t* meta, int m, int32_t* stride_out) {
+  if (m == 0) {
+    stride_out[0] = 1;
+    return 8 + 1;
+  }
+  std::vector<int64_t> size4(m, 0);
+  // iterative post-order
+  std::vector<std::pair<int32_t, bool>> stack;
+  stack.push_back({0, false});
+  int64_t n_pairs = 0;
+  while (!stack.empty()) {
+    auto [ci, ready] = stack.back();
+    stack.pop_back();
+    if (meta[3 * ci + 1] > 0) {
+      size4[ci] = 0;  // leaves are entered directly, no guard row
+      n_pairs += (meta[3 * ci + 1] + 1) / 2;
+      continue;
+    }
+    int els[4], k;
+    k = collapse4(meta, ci, els);
+    if (ready) {
+      int64_t s = 1;
+      for (int i = 0; i < k; ++i) s += size4[els[i]];
+      size4[ci] = s;
+    } else {
+      stack.push_back({ci, true});
+      for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
+    }
+  }
+  int64_t stride = std::max<int64_t>(size4[0], 1);
+  stride_out[0] = (int32_t)stride;
+  return 8 * stride + n_pairs + 1;
+}
+
+// Phase 2: fill the caller-allocated (rows, 32) table.
+void bvh4_table_fill(const float* nodes_lo, const float* nodes_hi,
+                     const int32_t* meta, const int32_t* axes, int m,
+                     const float* tri_a, const float* tri_e1,
+                     const float* tri_e2, int t_cnt, float* table,
+                     int64_t rows, int32_t stride) {
+  int64_t node_end = 8 * (int64_t)stride;
+  int64_t done = rows - 1;
+  if (m == 0) {
+    std::memset(table, 0, (size_t)rows * 128);
+    return;
+  }
+  // recompute size4 + pair_first (cheap vs the fill)
+  std::vector<int64_t> size4(m, 0), pair_first(m, 0);
+  {
+    std::vector<std::pair<int32_t, bool>> stack;
+    stack.push_back({0, false});
+    while (!stack.empty()) {
+      auto [ci, ready] = stack.back();
+      stack.pop_back();
+      if (meta[3 * ci + 1] > 0) {
+        size4[ci] = 0;  // leaves are entered directly, no guard row
+        continue;
+      }
+      int els[4], k;
+      k = collapse4(meta, ci, els);
+      if (ready) {
+        int64_t s = 1;
+        for (int i = 0; i < k; ++i) s += size4[els[i]];
+        size4[ci] = s;
+      } else {
+        stack.push_back({ci, true});
+        for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
+      }
+    }
+    int64_t pr = 0;  // leaves in canonical order (matches python builder)
+    for (int ci = 0; ci < m; ++ci)
+      if (meta[3 * ci + 1] > 0) {
+        pair_first[ci] = pr;
+        pr += (meta[3 * ci + 1] + 1) / 2;
+      }
+  }
+
+  Oct4Filler f{nodes_lo, nodes_hi, meta,   axes,   size4.data(),
+               pair_first.data(), node_end, done,  tri_a,
+               tri_e1,  tri_e2,  table};
+  std::vector<std::thread> ts;
+  for (int o = 0; o < 8; ++o)
+    ts.emplace_back([&f, o, stride]() { f.fill(o, stride); });
+  for (auto& t : ts) t.join();
+
+  // tri-pair rows (zero-filled: det==0 pad tris never hit)
+  std::memset(table + 32 * node_end, 0, (size_t)(rows - node_end) * 128);
+  for (int ci = 0; ci < m; ++ci) {
+    int n = meta[3 * ci + 1];
+    if (n <= 0) continue;
+    int fidx = meta[3 * ci];
+    int64_t p0 = node_end + pair_first[ci];
+    for (int j = 0; j < n; j += 2) {
+      float* row = table + 32 * (p0 + j / 2);
+      int32_t* rowi = (int32_t*)row;
+      std::memcpy(row, tri_a + 3 * (fidx + j), 12);
+      std::memcpy(row + 3, tri_e1 + 3 * (fidx + j), 12);
+      std::memcpy(row + 6, tri_e2 + 3 * (fidx + j), 12);
+      rowi[9] = fidx + j;
+      if (j + 1 < n) {
+        std::memcpy(row + 12, tri_a + 3 * (fidx + j + 1), 12);
+        std::memcpy(row + 15, tri_e1 + 3 * (fidx + j + 1), 12);
+        std::memcpy(row + 18, tri_e2 + 3 * (fidx + j + 1), 12);
+        rowi[21] = fidx + j + 1;
+      }
+      row[10] = (j + 2 >= n) ? 1.0f : 0.0f;
+    }
+  }
 }
 
 // Emit the 8 octant-ordered flattenings of a canonical skip-link tree.

@@ -284,6 +284,175 @@ def build_walk_table(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1, tri_e2):
     return table, node_end, m
 
 
+def _collapse4_elements(meta, ci):
+    """The (up to 4) collapsed-BVH4 elements of binary inner node ci: each
+    binary child contributes itself (leaf) or its two children (inner).
+    Octant-independent — ordering happens at emit time."""
+    left = ci + 1
+    right = meta[left, 2]
+    els = []
+    for y in (left, right):
+        if meta[y, 1] > 0:  # leaf
+            els.append(y)
+        else:
+            yl = y + 1
+            els.extend((yl, meta[yl, 2]))
+    return els
+
+
+def build_walk_table4(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
+                      tri_e2, native=True):
+    """Assemble the BVH4 re-entry walk table: one (R, 32) f32 array where
+    each gathered node row resolves FOUR slab tests (vs one for the
+    16-col binary table) and each triangle row tests TWO triangles.
+
+    Pointers are PHASE-ENCODED: ptr = row*4 + phase (phase = first child
+    slot still to consider). A child's subtree exit returns to its
+    PARENT's row at phase i+1, so the parent re-tests its remaining
+    children against the *current* (possibly shrunken) t_best and jumps
+    straight to the next hit child — the reference's shrinking-t_max
+    ordered descent (shape_tree.ml:198-220) without a stack and without
+    static sibling chains (a first prototype chained siblings statically;
+    measured on the 449k mesh, 53% of its lane-steps were wasted entries
+    into already-missed trailing siblings — tools/proto_walk_steps4).
+
+      node rows [0, stride*8): octant o owns rows [o*stride,(o+1)*stride):
+        cols [6i, 6i+6) = child i's (lo,hi) in the octant's near-first
+        order (NaN-padded past arity; NaN slab tests never hit); int col
+        24+i = child i's entry ptr (inner child's row*4, or the leaf's
+        first tri-pair row*4); col 28 = this node's exit ptr; col 29 =
+        arity. Entering a leaf child i sets the carried leaf-return
+        register to (row*4 + i+1), or to the exit ptr when i is the last
+        child. No guard rows: leaves are entered directly.
+      tri rows [stride*8, stride*8 + P): TWO triangles per row, chained
+        per leaf by ptr+4; cols 0-8 tri0 (a,e1,e2), 9 idx0 bits, 10
+        is_last, 12-20 tri1, 21 idx1 bits. Odd leaves pad tri1 with
+        zeros (det==0 never hits). Shared by all 8 octants.
+      DONE row R-1: absorbing all-zero row (ptr == (R-1)*4).
+
+    Returns (table, node_end, stride) — node_end/stride in ROW units."""
+    if native:
+        from ..native import bvh4_table_native
+        out = bvh4_table_native(nodes_lo, nodes_hi, meta, axes, tri_a,
+                                tri_e1, tri_e2)
+        if out is not None:
+            return out
+    m = meta.shape[0]
+    tri_a = np.asarray(tri_a, np.float32)
+    tri_e1 = np.asarray(tri_e1, np.float32)
+    tri_e2 = np.asarray(tri_e2, np.float32)
+
+    # tri-pair rows per leaf (pairs never span leaves)
+    leaf_ids = np.nonzero(meta[:, 1] > 0)[0]
+    pair_first = np.zeros(m, np.int64)
+    pr = 0
+    for ci in leaf_ids:
+        pair_first[ci] = pr
+        pr += (int(meta[ci, 1]) + 1) // 2
+    n_pairs = pr
+
+    # subtree row counts (octant-independent): leaf element -> 0 (entered
+    # directly, no guard); inner -> 1 + sum of elements
+    size4 = np.zeros(m, np.int64)
+
+    def compute_size(ci):
+        # iterative post-order to dodge recursion limits on deep trees
+        stack = [(ci, False)]
+        while stack:
+            node, ready = stack.pop()
+            if meta[node, 1] > 0:
+                size4[node] = 0
+                continue
+            els = _collapse4_elements(meta, node)
+            if ready:
+                size4[node] = 1 + sum(size4[e] for e in els)
+            else:
+                stack.append((node, True))
+                stack.extend((e, False) for e in els)
+
+    if m:
+        compute_size(0)
+    # a leaf root still needs one node row per octant to set lret
+    stride = max(int(size4[0]), 1) if m else 1
+    node_end = 8 * stride
+    rows = node_end + n_pairs + 1
+    done = rows - 1
+    done_ptr = 4 * done
+    table = np.full((rows, 32), np.nan, np.float32)
+    ti = table.view(np.int32)
+
+    def near_order(parent, o):
+        """Octant o's near-first order of parent's elements: outer order by
+        parent's split axis sign, inner order by each expanded child's own
+        axis."""
+        left = parent + 1
+        right = meta[left, 2]
+        out = []
+        for y in ((right, left) if (o >> (2 - axes[parent])) & 1
+                  else (left, right)):
+            if meta[y, 1] > 0:
+                out.append(y)
+            else:
+                yl = y + 1
+                yr = meta[yl, 2]
+                out.extend((yr, yl) if (o >> (2 - axes[y])) & 1
+                           else (yl, yr))
+        return out
+
+    for o in range(8):
+        base = o * stride
+        # iterative DFS: (binary_node, row, exit_ptr[phase-encoded])
+        stack = [(0, base, done_ptr)] if m else []
+        while stack:
+            ci, row, exit_ptr = stack.pop()
+            if meta[ci, 1] > 0:  # leaf root: degenerate 1-child node row
+                table[row, 0:3] = nodes_lo[ci]
+                table[row, 3:6] = nodes_hi[ci]
+                ti[row, 24] = 4 * (node_end + pair_first[ci])
+                ti[row, 25:28] = done_ptr
+                ti[row, 28] = exit_ptr
+                ti[row, 29] = 1
+                continue
+            els = near_order(ci, o)
+            k = len(els)
+            entry = row + 1
+            ti[row, 24:28] = done_ptr
+            for i, e in enumerate(els):
+                table[row, 6 * i:6 * i + 3] = nodes_lo[e]
+                table[row, 6 * i + 3:6 * i + 6] = nodes_hi[e]
+                ex = exit_ptr if i == k - 1 else 4 * row + i + 1
+                if meta[e, 1] > 0:  # leaf child: direct tri entry
+                    ti[row, 24 + i] = 4 * (node_end + pair_first[e])
+                else:
+                    ti[row, 24 + i] = 4 * entry
+                    stack.append((e, entry, ex))
+                    entry += int(size4[e])
+            ti[row, 28] = exit_ptr
+            ti[row, 29] = k
+
+    # tri pair rows
+    tp = np.zeros((n_pairs, 32), np.float32)
+    tpi = tp.view(np.int32)
+    for ci in leaf_ids:
+        f, n = int(meta[ci, 0]), int(meta[ci, 1])
+        p0 = pair_first[ci]
+        for k, j in enumerate(range(0, n, 2)):
+            r = p0 + k
+            tp[r, 0:3] = tri_a[f + j]
+            tp[r, 3:6] = tri_e1[f + j]
+            tp[r, 6:9] = tri_e2[f + j]
+            tpi[r, 9] = f + j
+            if j + 1 < n:
+                tp[r, 12:15] = tri_a[f + j + 1]
+                tp[r, 15:18] = tri_e1[f + j + 1]
+                tp[r, 18:21] = tri_e2[f + j + 1]
+                tpi[r, 21] = f + j + 1
+            tp[r, 10] = 1.0 if j + 2 >= n else 0.0
+    table[node_end:node_end + n_pairs] = tp
+    table[done] = 0.0
+    return table, node_end, stride
+
+
 def leaf_histogram(meta):
     """leaf size -> count (the reference's leaf_length_histogram,
     shape_tree.ml:238-247)."""
@@ -323,6 +492,182 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
         return jnp.where(active, key, jnp.int32(2 ** 30))
 
     return key
+
+
+def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
+                         done):
+    """The chunked + coherence-sorted + capped-multi-pass walk driver,
+    shared by the binary-octant and BVH4 traversers (the two differ only
+    in per-step row interpretation). See make_mesh_traverser_octant's
+    intersect docstring for the measured rationale of chunk/caps."""
+
+    def one(table_j, org, d, t_max0, active):
+        state = walk_pass(table_j, org, d, init_state(d, t_max0, active), 0)
+        _, _, t, u, v, idx = state
+        hit = t < jnp.minimum(t_max0, BIG)
+        return t, u, v, idx, hit
+
+    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None,
+                  caps=None):
+        n = org.shape[0]
+        if t_max0 is None:
+            t_max0 = jnp.full((n,), BIG)
+        if active is None:
+            active = jnp.ones((n,), bool)
+        if caps is None:
+            caps = _default_walk_caps()
+        if not caps or caps[-1] != 0:
+            caps = tuple(caps) + (0,)  # completion is not optional
+        tbl = table_default if table is None else table
+        if not (chunk and n > chunk):
+            return one(tbl, org, d, t_max0, active)
+
+        # sort by the static coherence key, pad to a chunk multiple
+        perm = jnp.argsort(key_fn(org, d, active))
+        org, d = org[perm], d[perm]
+        t_max0, active = t_max0[perm], active[perm]
+        lane_id = perm.astype(jnp.int32)
+        pad = (-n) % chunk
+        if pad:
+            org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            t_max0 = jnp.concatenate([t_max0,
+                                      jnp.zeros((pad,), t_max0.dtype)])
+            active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+            lane_id = jnp.concatenate([lane_id,
+                                       jnp.full((pad,), n, jnp.int32)])
+        n_tot = n + pad
+        state = init_state(d, t_max0, active)
+
+        def run_chunked(cap, org, d, state):
+            rsh = lambda x: x.reshape(-1, chunk, *x.shape[1:])
+            out = lax.map(
+                lambda a: walk_pass(tbl, a[0], a[1], tuple(a[2]), cap),
+                (rsh(org), rsh(d), tuple(rsh(s) for s in state)))
+            return tuple(o.reshape(n_tot) for o in out)
+
+        for pi, cap in enumerate(caps):
+            if pi:  # regroup: finished lanes last, survivors by ptr
+                key2 = jnp.where(state[0] == done, jnp.int32(2 ** 30),
+                                 state[0])
+                p2 = jnp.argsort(key2)
+                org, d = org[p2], d[p2]
+                t_max0, lane_id = t_max0[p2], lane_id[p2]
+                state = tuple(s[p2] for s in state)
+            state = run_chunked(cap, org, d, state)
+
+        t, u, v, idx = state[2], state[3], state[4], state[5]
+        hit = t < jnp.minimum(t_max0, BIG)
+        inv = jnp.argsort(lane_id)
+        return tuple(o[inv][:n] for o in (t, u, v, idx, hit))
+
+    return intersect
+
+
+def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
+    """intersect(...) over the BVH4 re-entry walk table (layout and
+    phase-encoded pointer semantics: build_walk_table4). Each step gathers
+    ONE 32-col row resolving 4 slab tests (node row) or 2 Moller-Trumbore
+    tests (tri-pair row); subtree exits re-enter the parent at the next
+    child phase, re-culling the remaining children with the shrunken
+    t_best."""
+    table_default = jnp.asarray(table_np)
+    rows_total = table_np.shape[0]
+    done = 4 * (rows_total - 1)  # phase-encoded absorbing pointer
+    node_end4 = 4 * node_end
+    eps = np.float32(1e-6)
+    key_fn = _coherence_key_fn(root_lo, root_hi)
+
+    def init_state(d, t_max0, active):
+        n = d.shape[0]
+        oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
+                + (d[:, 2] < 0)).astype(jnp.int32)
+        ptr0 = jnp.where(active, oct_ * (4 * stride), done)
+        return (ptr0, jnp.full((n,), done, jnp.int32),
+                jnp.minimum(t_max0, BIG), jnp.zeros((n,)), jnp.zeros((n,)),
+                jnp.zeros((n,), jnp.int32))
+
+    def walk_pass(table_j, org, d, state, cap):
+        inv_d = 1.0 / d
+
+        def cond(sk):
+            state, k = sk
+            live = jnp.any(state[0] != done)
+            return (live & (k < cap)) if cap else live
+
+        def body_k(sk):
+            state, k = sk
+            return body(state), k + 1
+
+        def mt(rows, a_sl, e1_sl, e2_sl, idx_col, rows_i, t_best, u_best,
+               v_best, i_best, is_tri):
+            a = rows[:, a_sl]
+            e1 = rows[:, e1_sl]
+            e2 = rows[:, e2_sl]
+            pvec = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            det_inv = 1.0 / det
+            tvec = org - a
+            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
+            qvec = jnp.cross(tvec, e1)
+            vv = det_inv * jnp.sum(d * qvec, axis=-1)
+            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
+            ok = (is_tri & (jnp.abs(det) >= eps) & (uu >= 0.0)
+                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt >= 0.0) & (tt <= t_best))
+            return (jnp.where(ok, tt, t_best), jnp.where(ok, uu, u_best),
+                    jnp.where(ok, vv, v_best),
+                    jnp.where(ok, rows_i[:, idx_col], i_best))
+
+        def body(state):
+            ptr, lret, t_best, u_best, v_best, i_best = state
+            row_idx = ptr >> 2
+            phase = ptr & 3
+            rows = table_j[row_idx]  # (n, 32): the one gather per step
+            rows_i = lax.bitcast_convert_type(rows, jnp.int32)
+            is_node = ptr < node_end4
+
+            # node interpretation: 4 slab tests (NaN pad never hits),
+            # masked to child slots >= the re-entry phase
+            boxes = rows[:, 0:24].reshape(-1, 4, 6)
+            t0 = (boxes[:, :, 0:3] - org[:, None, :]) * inv_d[:, None, :]
+            t1 = (boxes[:, :, 3:6] - org[:, None, :]) * inv_d[:, None, :]
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            bh = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, t_best[:, None])
+            bh = bh & (jnp.arange(4, dtype=jnp.int32)[None, :]
+                       >= phase[:, None])
+            any_hit = jnp.any(bh, axis=1) & is_node
+            sel = jnp.argmax(bh, axis=1)  # first hit child (near order)
+            enters = rows_i[:, 24:28]
+            e_sel = jnp.take_along_axis(enters, sel[:, None], 1)[:, 0]
+            skp = rows_i[:, 28]
+            nxt_node = jnp.where(any_hit, e_sel, skp)
+            # child-i exit: re-enter this row at phase i+1 (last: exit)
+            exit_sel = jnp.where(sel == rows_i[:, 29] - 1, skp,
+                                 (ptr & ~3) + sel + 1)
+
+            # tri-pair interpretation: tri0 then tri1 vs updated t_best
+            is_tri = ~is_node
+            t_best, u_best, v_best, i_best = mt(
+                rows, slice(0, 3), slice(3, 6), slice(6, 9), 9, rows_i,
+                t_best, u_best, v_best, i_best, is_tri)
+            t_best, u_best, v_best, i_best = mt(
+                rows, slice(12, 15), slice(15, 18), slice(18, 21), 21,
+                rows_i, t_best, u_best, v_best, i_best, is_tri)
+
+            nxt_tri = jnp.where(rows[:, 10] > 0.5, lret, ptr + 4)
+            nxt = jnp.where(is_node, nxt_node, nxt_tri)
+            nxt = jnp.where(ptr == done, done, nxt)
+            lret = jnp.where(is_node & any_hit & (e_sel >= node_end4),
+                             exit_sel, lret)
+            return nxt, lret, t_best, u_best, v_best, i_best
+
+        state, _ = lax.while_loop(cond, body_k, (state, jnp.int32(0)))
+        return state
+
+    return _chunked_walk_driver(init_state, walk_pass, key_fn,
+                                table_default, done)
 
 
 def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
@@ -422,89 +767,23 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
         state, _ = lax.while_loop(cond, body_k, (state, jnp.int32(0)))
         return state
 
-    def one(table_j, org, d, t_max0, active):
-        state = walk_pass(table_j, org, d, init_state(d, t_max0, active), 0)
-        _, _, t, u, v, idx = state
-        hit = t < jnp.minimum(t_max0, BIG)
-        return t, u, v, idx, hit
-
-    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None,
-                  caps=None):
-        """table: pass the mesh's walk table as a TRACED jit argument to
-        avoid embedding it as an HLO constant — a closed-over 22 MB table
-        costs ~160 s of XLA compile vs ~tens of seconds as an argument
-        (measured, tools/proto_const_compile.py). Defaults to the captured
-        table for interactive/test use.
-
-        chunk=512 from a measured device cost model (tools/proto_walk_steps
-        + tools/bench_mesh_walk on the 449k-tri mesh):
-        ~22.5 ns per lane-step + ~5 us per sequential step, with per-lane
-        steps mean 38 / p95 79 / max 332 but chunk-worst ~6x the mean.
-        600x600 eye rays: 512 -> 1.20 s, 1024 -> 1.44 s, 4096 -> 2.01 s,
-        16384 -> 3.36 s, unchunked -> 5.84 s (full-width gathers lose
-        locality; never unchunk large calls).
-
-        caps: capped multi-pass schedule. Chunk cost is its own worst
-        lane (~6x the mean steps), so each pass caps every chunk's step
-        count, then lanes RESORT by (finished, current ptr) — survivors
-        from everywhere regroup into few step-coherent chunks and the
-        finished majority collapses into all-dead chunks that exit in one
-        step. The final 0 (uncapped) pass guarantees completion. Bit-exact
-        vs the single-pass walk: per-lane state updates are independent of
-        chunk grouping."""
-        n = org.shape[0]
-        if t_max0 is None:
-            t_max0 = jnp.full((n,), BIG)
-        if active is None:
-            active = jnp.ones((n,), bool)
-        if caps is None:
-            caps = _default_walk_caps()
-        if not caps or caps[-1] != 0:
-            caps = tuple(caps) + (0,)  # completion is not optional
-        tbl = table_default if table is None else table
-        if not (chunk and n > chunk):
-            return one(tbl, org, d, t_max0, active)
-
-        # sort by the static coherence key, pad to a chunk multiple
-        perm = jnp.argsort(key_fn(org, d, active))
-        org, d = org[perm], d[perm]
-        t_max0, active = t_max0[perm], active[perm]
-        lane_id = perm.astype(jnp.int32)
-        pad = (-n) % chunk
-        if pad:
-            org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
-            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-            t_max0 = jnp.concatenate([t_max0,
-                                      jnp.zeros((pad,), t_max0.dtype)])
-            active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
-            lane_id = jnp.concatenate([lane_id,
-                                       jnp.full((pad,), n, jnp.int32)])
-        n_tot = n + pad
-        state = init_state(d, t_max0, active)
-
-        def run_chunked(cap, org, d, state):
-            rsh = lambda x: x.reshape(-1, chunk, *x.shape[1:])
-            out = lax.map(
-                lambda a: walk_pass(tbl, a[0], a[1], tuple(a[2]), cap),
-                (rsh(org), rsh(d), tuple(rsh(s) for s in state)))
-            return tuple(o.reshape(n_tot) for o in out)
-
-        for pi, cap in enumerate(caps):
-            if pi:  # regroup: finished lanes last, survivors by ptr
-                key2 = jnp.where(state[0] == done, jnp.int32(2 ** 30),
-                                 state[0])
-                p2 = jnp.argsort(key2)
-                org, d = org[p2], d[p2]
-                t_max0, lane_id = t_max0[p2], lane_id[p2]
-                state = tuple(s[p2] for s in state)
-            state = run_chunked(cap, org, d, state)
-
-        t, u, v, idx = state[2], state[3], state[4], state[5]
-        hit = t < jnp.minimum(t_max0, BIG)
-        inv = jnp.argsort(lane_id)
-        return tuple(o[inv][:n] for o in (t, u, v, idx, hit))
-
-    return intersect
+    # Chunked + capped multi-pass driver notes (shared with the BVH4 walk):
+    #   table: pass the mesh's walk table as a TRACED jit argument to
+    #   avoid embedding it as an HLO constant — a closed-over 22 MB table
+    #   costs ~160 s of XLA compile vs ~tens of seconds as an argument
+    #   (measured, tools/proto_const_compile.py).
+    #   chunk=512 from a measured device cost model (tools/proto_walk_steps
+    #   + tools/bench_mesh_walk on the 449k-tri mesh): ~22.5 ns per
+    #   lane-step + ~5 us per sequential step, per-lane steps mean 38 /
+    #   p95 79 / max 332, chunk-worst ~6x the mean. 600x600 eye rays:
+    #   512 -> 1.20 s, 4096 -> 2.01 s, unchunked -> 5.84 s (full-width
+    #   gathers lose locality; never unchunk large calls).
+    #   caps: each capped pass bounds every chunk's step count, then lanes
+    #   RESORT by (finished, current ptr); the final 0 (uncapped) pass
+    #   guarantees completion. Bit-exact vs the single-pass walk: per-lane
+    #   state updates are independent of chunk grouping.
+    return _chunked_walk_driver(init_state, walk_pass, key_fn,
+                                table_default, done)
 
 
 class MeshBVH:
@@ -541,7 +820,16 @@ class MeshBVH:
         self.tri_e1 = jnp.asarray(e1)
         self.tri_e2 = jnp.asarray(e2)
         self.table_j = None
-        if walk == "octant":
+        if walk == "bvh4":
+            table, node_end, stride = build_walk_table4(
+                nodes_lo, nodes_hi, meta, axes, a, e1, e2)
+            self.node_end, self.stride = node_end, stride
+            self.table_j = jnp.asarray(table)
+            jax.block_until_ready(self.table_j)  # see octant note below
+            float(self.table_j[0, 0])
+            self.intersect = make_mesh_traverser_bvh4(
+                self.table_j, node_end, stride, nodes_lo[0], nodes_hi[0])
+        elif walk == "octant":
             # unified-table ordered walk (one gather per step)
             table, node_end, m = build_walk_table(nodes_lo, nodes_hi, meta,
                                                   axes, a, e1, e2)

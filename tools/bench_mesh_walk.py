@@ -50,12 +50,14 @@ def main():
                   for c in sys.argv[4].split(";")]
                  if len(sys.argv) > 4 else [(48, 96, 0)])
     results = {}
-    for walk in (["octant", "skiplink"] if which == "both" else [which]):
+    walks = {"both": ["octant", "skiplink"], "all": ["bvh4", "octant"],
+             }.get(which, [which])
+    for walk in walks:
         t0 = time.monotonic()
         mesh = MeshBVH(vc, faces, mat, length_cutoff=8, walk=walk)
         print(f"[{walk}] build {time.monotonic()-t0:.2f}s "
               f"depth={mesh.depth}", flush=True)
-        for caps in (caps_list if walk == "octant" else [None]):
+        for caps in (caps_list if walk in ("octant", "bvh4") else [None]):
             kw = {"caps": caps} if caps is not None else {}
             jfn = jax.jit(lambda o, dd, tbl, m=mesh, kw=kw: m.intersect(
                 o, dd, chunk=chunk, table=tbl, **kw))
