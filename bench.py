@@ -1,13 +1,23 @@
 #!/usr/bin/env python
-"""Canonical benchmark: shirley-spheres 600x300 spp=32 bounces=8 (the
-reference README's command) on the default JAX platform (TPU when present).
+"""Canonical benchmarks on the default JAX platform (TPU when present).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-- value: measured Mrays/s (ray segments actually traced / wall seconds,
-  the bounce-loop-iterations counting of BASELINE.md).
-- vs_baseline: ratio vs the driver-set north-star target of 500 Mrays/s on a
-  v5e-8 (the reference publishes no numbers — BASELINE.md). Scaled by chip
-  count so a single-chip run is compared against its 1/8 share.
+Prints one JSON line per scene {"metric", "value", "unit", "vs_baseline"}:
+1. shirley-spheres 600x300 spp=32 bounces=8 (the reference README's
+   command): Mrays/s (ray segments actually traced / wall seconds, the
+   bounce-loop-iterations counting of BASELINE.md). vs_baseline = ratio
+   vs the driver-set north-star of 500 Mrays/s on a v5e-8 (the reference
+   publishes no numbers — BASELINE.md), scaled by chip count so a
+   single-chip run is compared against its 1/8 share. THIS LINE IS THE
+   HEADLINE METRIC and always prints first.
+2. cornell-box 600x600 75k photons b=4: steady-state seconds/iteration
+   (the reference prints per-iteration telemetry, ppm.ml:434-445).
+   vs_baseline = round-2 steady state (1.33 s) / value, so >1 = faster
+   than the round-2 build.
+3. ganesha (committed 449k-tri shell) 600x600 75k photons b=4: same
+   convention; round-2 steady state 1.90 s/iter.
+
+Scenes 2-3 are skipped (with a comment line) if their setup fails, so a
+PPM regression can never hide the headline metric.
 """
 
 import json
@@ -22,13 +32,67 @@ def main():
     for attempt in range(3):
         try:
             _run()
-            return
+            break
         except Exception as e:  # the tunneled TPU can wedge after a killed run
             if attempt == 2:
                 raise
             print(f"# attempt {attempt} failed ({type(e).__name__}); "
                   f"waiting for the TPU to recover", file=sys.stderr)
             time.sleep(45)
+    for scene in ("cornell", "ganesha"):
+        try:
+            _run_ppm(scene)
+        except Exception as e:
+            print(f"# {scene} bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+
+def _run_ppm(which: str):
+    """Steady-state PPM seconds/iteration: run 3 iterations, report the
+    fastest post-compile iteration (compiles land in iteration 0)."""
+    import numpy as np
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    if which == "cornell":
+        from pathtracer_tpu.models import cornell
+        scene, cam, lights = cornell.build(1.0)
+        mesh = None
+        bbox_override = None
+        baseline = 1.33
+    else:
+        from pathtracer_tpu.models import ganesha
+        scene, cam, lights, mesh, bbox_override = ganesha.build(
+            "scenes/big_ganesha.ply", 1.0)
+        baseline = 1.90
+    times = []
+    t_box = [None]
+
+    def cb(i, img_sum):
+        now = time.perf_counter()
+        if t_box[0] is not None:
+            times.append(now - t_box[0])
+        t_box[0] = now
+
+    r = PPMRenderer(scene=scene, camera=cam, lights=lights, width=600,
+                    height=600, iterations=3, photon_count=75000,
+                    max_bounces=4, verbose=False, mesh=mesh,
+                    bbox_override=bbox_override)
+    t_box[0] = None
+    t0 = time.perf_counter()
+    cb(-1, None)
+    r.render(checkpoint_cb=cb)
+    total = time.perf_counter() - t0
+    steady = min(times[1:]) if len(times) > 1 else times[0]
+    result = {
+        "metric": f"{which}_600x600_75k_b4_sec_per_iter",
+        "value": round(steady, 3),
+        "unit": "s/iter",
+        "vs_baseline": round(baseline / steady, 4),
+    }
+    print(json.dumps(result))
+    print(f"# {which}: iters={len(times)} times="
+          f"{[round(t, 2) for t in times]} total={total:.1f}s",
+          file=sys.stderr)
 
 
 def _run():

@@ -52,12 +52,15 @@ def _compile_and_load():
     lib.bvh_flatten_octants.argtypes = [i32p, i32p, ctypes.c_int,
                                         i32p, i32p, i32p]
     lib.bvh_flatten_octants.restype = None
-    lib.bvh4_table_rows.argtypes = [i32p, ctypes.c_int, i32p]
-    lib.bvh4_table_rows.restype = ctypes.c_int64
-    lib.bvh4_table_fill.argtypes = [f32p, f32p, i32p, i32p, ctypes.c_int,
-                                    f32p, f32p, f32p, ctypes.c_int,
-                                    f32p, ctypes.c_int64, ctypes.c_int32]
-    lib.bvh4_table_fill.restype = None
+    for w in (4, 8):
+        rows_fn = getattr(lib, f"bvh{w}_table_rows")
+        rows_fn.argtypes = [i32p, ctypes.c_int, i32p]
+        rows_fn.restype = ctypes.c_int64
+        fill_fn = getattr(lib, f"bvh{w}_table_fill")
+        fill_fn.argtypes = [f32p, f32p, i32p, i32p, ctypes.c_int,
+                            f32p, f32p, f32p, ctypes.c_int,
+                            f32p, ctypes.c_int64, ctypes.c_int32]
+        fill_fn.restype = None
     return lib
 
 
@@ -103,10 +106,11 @@ def bvh_build_native(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
             order.astype(np.int64), int(depth[0]))
 
 
-def bvh4_table_native(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
-                      tri_e2):
-    """C++ BVH4 walk-table build (8 octant fills on threads); returns
-    (table (R,32) f32, node_end, stride) or None without the library."""
+def _bvh_wide_table_native(width, nodes_lo, nodes_hi, meta, axes, tri_a,
+                           tri_e1, tri_e2):
+    """C++ BVH4/BVH8 walk-table build (8 octant fills on threads);
+    returns (table (R,32) f32, node_end, stride) or None without the
+    library."""
     lib = get_lib()
     if lib is None:
         return None
@@ -114,9 +118,11 @@ def bvh4_table_native(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
     axes = np.ascontiguousarray(axes, np.int32)
     m = meta.shape[0]
     stride = np.zeros(1, np.int32)
-    rows = lib.bvh4_table_rows(meta, m, stride)
+    rows = getattr(lib, f"bvh{width}_table_rows")(meta, m, stride)
+    if width == 8 and rows * 8 >= 1 << 24:
+        raise ValueError("mesh too large for 24-bit BVH8 entries")
     table = np.empty((rows, 32), np.float32)
-    lib.bvh4_table_fill(
+    getattr(lib, f"bvh{width}_table_fill")(
         np.ascontiguousarray(nodes_lo, np.float32),
         np.ascontiguousarray(nodes_hi, np.float32), meta, axes, m,
         np.ascontiguousarray(tri_a, np.float32),
@@ -124,6 +130,18 @@ def bvh4_table_native(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
         np.ascontiguousarray(tri_e2, np.float32),
         len(tri_a), table, rows, int(stride[0]))
     return table, 8 * int(stride[0]), int(stride[0])
+
+
+def bvh4_table_native(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
+                      tri_e2):
+    return _bvh_wide_table_native(4, nodes_lo, nodes_hi, meta, axes,
+                                  tri_a, tri_e1, tri_e2)
+
+
+def bvh8_table_native(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
+                      tri_e2):
+    return _bvh_wide_table_native(8, nodes_lo, nodes_hi, meta, axes,
+                                  tri_a, tri_e1, tri_e2)
 
 
 def bvh_flatten_octants_native(meta, axes):

@@ -538,6 +538,264 @@ void bvh4_table_fill(const float* nodes_lo, const float* nodes_hi,
   }
 }
 
+// ---- BVH8 re-entry walk table (ops/bvh.py build_walk_table8: layout &
+// phase-encoded pointer semantics) ----
+//
+// Same re-entry idea as BVH4 but collapsing THREE binary levels per row:
+// 8 child boxes conservatively rounded to bf16 (lo toward -inf, hi toward
+// +inf — the slab test only gates, so loose boxes cost extra entries and
+// never miss true hits) packed two-per-int32 in cols 0..23, 8 entry
+// pointers packed 24-bit in cols 24..29 (bit0 = last-child flag; entry
+// ptrs are 8-aligned so 3 low bits are free), exit ptr in col 30.
+// Pointer encoding: ptr = row*8 + phase.
+
+namespace {
+
+static inline uint16_t bf16_down(float x) {  // round toward -inf
+  uint32_t b;
+  std::memcpy(&b, &x, 4);
+  if ((b & 0x80000000u) && (b & 0xFFFFu)) b += 0x10000u;
+  return (uint16_t)(b >> 16);
+}
+
+static inline uint16_t bf16_up(float x) {  // round toward +inf
+  uint32_t b;
+  std::memcpy(&b, &x, 4);
+  if (!(b & 0x80000000u) && (b & 0xFFFFu)) b += 0x10000u;
+  return (uint16_t)(b >> 16);
+}
+
+// up-to-8 elements of the 3-level collapse (octant-independent)
+static inline int collapse8(const int32_t* meta, int ci, int els[8]) {
+  int k = 0;
+  // expand y two more levels below the child boundary
+  auto expand = [&](auto&& self, int y, int depth) -> void {
+    if (depth == 0 || meta[3 * y + 1] > 0) {
+      els[k++] = y;
+      return;
+    }
+    int yl = y + 1;
+    self(self, yl, depth - 1);
+    self(self, meta[3 * yl + 2], depth - 1);
+  };
+  int l = ci + 1;
+  int r = meta[3 * l + 2];
+  expand(expand, l, 2);
+  expand(expand, r, 2);
+  return k;
+}
+
+struct Oct8Filler {
+  const float* nlo;
+  const float* nhi;
+  const int32_t* meta;
+  const int32_t* axes;
+  const int64_t* size8;
+  const int64_t* pair_first;
+  int64_t node_end, done;
+  const float* tri_a;
+  const float* tri_e1;
+  const float* tri_e2;
+  float* table;  // (rows, 32)
+
+  // octant-ordered expansion: near-first by each expanded node's axis
+  void near_order(int ci, int o, int els[8], int* k_out) const {
+    int k = 0;
+    auto expand = [&](auto&& self, int y, int depth) -> void {
+      if (depth == 0 || meta[3 * y + 1] > 0) {
+        els[k++] = y;
+        return;
+      }
+      int yl = y + 1;
+      int yr = meta[3 * yl + 2];
+      bool neg = (o >> (2 - axes[y])) & 1;
+      self(self, neg ? yr : yl, depth - 1);
+      self(self, neg ? yl : yr, depth - 1);
+    };
+    int l = ci + 1;
+    int r = meta[3 * l + 2];
+    bool negp = (o >> (2 - axes[ci])) & 1;
+    expand(expand, negp ? r : l, 2);
+    expand(expand, negp ? l : r, 2);
+    *k_out = k;
+  }
+
+  void put_box(int32_t* rowi, int slot, const float* lo,
+               const float* hi) const {
+    for (int a = 0; a < 3; ++a)
+      rowi[3 * slot + a] =
+          (int32_t)((uint32_t)bf16_down(lo[a]) |
+                    ((uint32_t)bf16_up(hi[a]) << 16));
+  }
+
+  void fill(int o, int64_t stride) const {
+    int64_t base = (int64_t)o * stride;
+    int64_t done_ptr = 8 * done;
+    struct Item {
+      int32_t ci;
+      int64_t row, exit_ptr;
+    };
+    std::vector<Item> stack;
+    stack.push_back({0, base, done_ptr});
+    const int32_t nan_pack = (int32_t)0x7FC07FC0u;  // bf16 NaN | NaN
+    while (!stack.empty()) {
+      Item it = stack.back();
+      stack.pop_back();
+      float* row = table + 32 * it.row;
+      int32_t* rowi = (int32_t*)row;
+      for (int c = 0; c < 24; ++c) rowi[c] = nan_pack;
+      uint32_t ev[8];
+      for (int i = 0; i < 8; ++i) ev[i] = (uint32_t)done_ptr & 0xFFFFFFu;
+      if (meta[3 * it.ci + 1] > 0) {  // leaf root: degenerate 1-child row
+        put_box(rowi, 0, nlo + 3 * it.ci, nhi + 3 * it.ci);
+        ev[0] = (uint32_t)(8 * (node_end + pair_first[it.ci])) | 1u;
+      } else {
+        int els[8], k;
+        near_order(it.ci, o, els, &k);
+        int64_t entry = it.row + 1;
+        for (int i = 0; i < k; ++i) {
+          int e = els[i];
+          put_box(rowi, i, nlo + 3 * e, nhi + 3 * e);
+          uint32_t last = (i == k - 1) ? 1u : 0u;
+          int64_t ex = (i + 1 < k) ? 8 * it.row + i + 1 : it.exit_ptr;
+          if (meta[3 * e + 1] > 0) {  // leaf child: direct tri entry
+            ev[i] = (uint32_t)(8 * (node_end + pair_first[e])) | last;
+          } else {
+            ev[i] = (uint32_t)(8 * entry) | last;
+            stack.push_back({e, entry, ex});
+            entry += size8[e];
+          }
+        }
+      }
+      // pack 8x24-bit entries into cols 24..29
+      uint8_t bytes[24];
+      for (int i = 0; i < 8; ++i) {
+        bytes[3 * i] = ev[i] & 0xFF;
+        bytes[3 * i + 1] = (ev[i] >> 8) & 0xFF;
+        bytes[3 * i + 2] = (ev[i] >> 16) & 0xFF;
+      }
+      for (int c = 0; c < 6; ++c)
+        rowi[24 + c] = (int32_t)((uint32_t)bytes[4 * c] |
+                                 ((uint32_t)bytes[4 * c + 1] << 8) |
+                                 ((uint32_t)bytes[4 * c + 2] << 16) |
+                                 ((uint32_t)bytes[4 * c + 3] << 24));
+      rowi[30] = (int32_t)it.exit_ptr;
+      rowi[31] = 0;
+    }
+  }
+};
+
+}  // namespace
+
+// Phase 1: sizes. Returns total rows; stride_out[0] = per-octant rows.
+int64_t bvh8_table_rows(const int32_t* meta, int m, int32_t* stride_out) {
+  if (m == 0) {
+    stride_out[0] = 1;
+    return 8 + 1;
+  }
+  std::vector<int64_t> size8(m, 0);
+  std::vector<std::pair<int32_t, bool>> stack;
+  stack.push_back({0, false});
+  int64_t n_pairs = 0;
+  while (!stack.empty()) {
+    auto [ci, ready] = stack.back();
+    stack.pop_back();
+    if (meta[3 * ci + 1] > 0) {
+      size8[ci] = 0;
+      n_pairs += (meta[3 * ci + 1] + 1) / 2;
+      continue;
+    }
+    int els[8], k;
+    k = collapse8(meta, ci, els);
+    if (ready) {
+      int64_t s = 1;
+      for (int i = 0; i < k; ++i) s += size8[els[i]];
+      size8[ci] = s;
+    } else {
+      stack.push_back({ci, true});
+      for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
+    }
+  }
+  int64_t stride = std::max<int64_t>(size8[0], 1);
+  stride_out[0] = (int32_t)stride;
+  return 8 * stride + n_pairs + 1;
+}
+
+// Phase 2: fill the caller-allocated (rows, 32) table.
+void bvh8_table_fill(const float* nodes_lo, const float* nodes_hi,
+                     const int32_t* meta, const int32_t* axes, int m,
+                     const float* tri_a, const float* tri_e1,
+                     const float* tri_e2, int t_cnt, float* table,
+                     int64_t rows, int32_t stride) {
+  int64_t node_end = 8 * (int64_t)stride;
+  int64_t done = rows - 1;
+  if (m == 0) {
+    std::memset(table, 0, (size_t)rows * 128);
+    return;
+  }
+  std::vector<int64_t> size8(m, 0), pair_first(m, 0);
+  {
+    std::vector<std::pair<int32_t, bool>> stack;
+    stack.push_back({0, false});
+    while (!stack.empty()) {
+      auto [ci, ready] = stack.back();
+      stack.pop_back();
+      if (meta[3 * ci + 1] > 0) {
+        size8[ci] = 0;
+        continue;
+      }
+      int els[8], k;
+      k = collapse8(meta, ci, els);
+      if (ready) {
+        int64_t s = 1;
+        for (int i = 0; i < k; ++i) s += size8[els[i]];
+        size8[ci] = s;
+      } else {
+        stack.push_back({ci, true});
+        for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
+      }
+    }
+    int64_t pr = 0;
+    for (int ci = 0; ci < m; ++ci)
+      if (meta[3 * ci + 1] > 0) {
+        pair_first[ci] = pr;
+        pr += (meta[3 * ci + 1] + 1) / 2;
+      }
+  }
+
+  Oct8Filler f{nodes_lo, nodes_hi, meta,   axes,   size8.data(),
+               pair_first.data(), node_end, done,  tri_a,
+               tri_e1,  tri_e2,  table};
+  std::vector<std::thread> ts;
+  for (int o = 0; o < 8; ++o)
+    ts.emplace_back([&f, o, stride]() { f.fill(o, stride); });
+  for (auto& t : ts) t.join();
+
+  // tri-pair rows: same layout as the BVH4 table
+  std::memset(table + 32 * node_end, 0, (size_t)(rows - node_end) * 128);
+  for (int ci = 0; ci < m; ++ci) {
+    int n = meta[3 * ci + 1];
+    if (n <= 0) continue;
+    int fidx = meta[3 * ci];
+    int64_t p0 = node_end + pair_first[ci];
+    for (int j = 0; j < n; j += 2) {
+      float* row = table + 32 * (p0 + j / 2);
+      int32_t* rowi = (int32_t*)row;
+      std::memcpy(row, tri_a + 3 * (fidx + j), 12);
+      std::memcpy(row + 3, tri_e1 + 3 * (fidx + j), 12);
+      std::memcpy(row + 6, tri_e2 + 3 * (fidx + j), 12);
+      rowi[9] = fidx + j;
+      if (j + 1 < n) {
+        std::memcpy(row + 12, tri_a + 3 * (fidx + j + 1), 12);
+        std::memcpy(row + 15, tri_e1 + 3 * (fidx + j + 1), 12);
+        std::memcpy(row + 18, tri_e2 + 3 * (fidx + j + 1), 12);
+        rowi[21] = fidx + j + 1;
+      }
+      row[10] = (j + 2 >= n) ? 1.0f : 0.0f;
+    }
+  }
+}
+
 // Emit the 8 octant-ordered flattenings of a canonical skip-link tree.
 // Outputs are stacked per octant: perm/enter/skip each have 8*m entries
 // (octant o occupies [o*m, (o+1)*m)).

@@ -453,6 +453,169 @@ def build_walk_table4(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
     return table, node_end, stride
 
 
+def _bf16_directed(x, up):
+    """Round f32 -> bf16 bits toward +inf (up=True) or -inf. Conservative
+    box rounding: the slab test only gates, so loose boxes cost extra
+    node entries but can never miss a true hit."""
+    b = np.asarray(x, np.float32).reshape(-1).view(np.uint32).copy()
+    frac = (b & 0xFFFF) != 0
+    neg = (b & 0x80000000) != 0
+    b[frac & (neg != up)] += 0x10000
+    return (b >> 16).astype(np.uint32).reshape(np.shape(x))
+
+
+def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
+                      tri_e2, native=True):
+    """Assemble the BVH8 re-entry walk table: same phase-encoded re-entry
+    walk as build_walk_table4 but collapsing THREE binary levels per row,
+    still in (R, 32) f32 rows — the measured walk cost is ~43 ns fixed
+    per lane-step + ~0.34 ns/byte (BASELINE.md), so resolving 8 boxes per
+    gather at unchanged row width is the win.
+
+    Row packing (int32 view):
+      cols 0..23: child i's box, bf16 pair per col: col 3i+a holds
+        (lo[a] rounded down) | (hi[a] rounded up) << 16; NaN pads.
+      cols 24..29: 8 entry pointers, 24-bit little-endian packed; entry
+        ptrs are (row*8) so bit0 carries the last-child flag.
+      col 30: exit ptr (phase-encoded); col 31: zero.
+    Tri rows and pointer semantics otherwise match build_walk_table4
+    with phase = ptr & 7, row = ptr >> 3.
+
+    Returns (table, node_end, stride) in ROW units. Requires
+    rows*8 < 2^24 (24-bit entries) — callers fall back to the BVH4
+    table beyond that (~4M rows ≈ 15M tris)."""
+    if native:
+        from ..native import bvh8_table_native
+        out = bvh8_table_native(nodes_lo, nodes_hi, meta, axes, tri_a,
+                                tri_e1, tri_e2)
+        if out is not None:
+            return out
+    m = meta.shape[0]
+    tri_a = np.asarray(tri_a, np.float32)
+    tri_e1 = np.asarray(tri_e1, np.float32)
+    tri_e2 = np.asarray(tri_e2, np.float32)
+
+    leaf_ids = np.nonzero(meta[:, 1] > 0)[0]
+    pair_first = np.zeros(m, np.int64)
+    pr = 0
+    for ci in leaf_ids:
+        pair_first[ci] = pr
+        pr += (int(meta[ci, 1]) + 1) // 2
+    n_pairs = pr
+
+    def elements8(ci, o=None):
+        """up-to-8 collapsed elements; octant-ordered when o is given."""
+        els = []
+
+        def expand(y, depth):
+            if depth == 0 or meta[y, 1] > 0:
+                els.append(y)
+                return
+            yl = y + 1
+            yr = meta[yl, 2]
+            if o is not None and (o >> (2 - axes[y])) & 1:
+                yl, yr = yr, yl
+            expand(yl, depth - 1)
+            expand(yr, depth - 1)
+
+        left, right = ci + 1, meta[ci + 1, 2]
+        if o is not None and (o >> (2 - axes[ci])) & 1:
+            left, right = right, left
+        expand(left, 2)
+        expand(right, 2)
+        return els
+
+    size8 = np.zeros(m, np.int64)
+    if m:
+        stack = [(0, False)]
+        while stack:
+            node, ready = stack.pop()
+            if meta[node, 1] > 0:
+                size8[node] = 0
+                continue
+            els = elements8(node)
+            if ready:
+                size8[node] = 1 + sum(size8[e] for e in els)
+            else:
+                stack.append((node, True))
+                stack.extend((e, False) for e in els)
+
+    stride = max(int(size8[0]), 1) if m else 1
+    node_end = 8 * stride
+    rows = node_end + n_pairs + 1
+    if rows * 8 >= 1 << 24:
+        raise ValueError("mesh too large for 24-bit BVH8 entries")
+    done = rows - 1
+    done_ptr = 8 * done
+    table = np.zeros((rows, 32), np.float32)
+    ti = table.view(np.int32)
+    nan_pack = np.int32(0x7FC07FC0)  # bf16 NaN | bf16 NaN
+
+    def put_row(row, boxes, ev, exit_ptr):
+        """boxes: list of (lo,hi) or None per slot; ev: 8 uint entries."""
+        ti[row, 0:24] = nan_pack
+        for i, bx in enumerate(boxes):
+            if bx is None:
+                continue
+            lo, hi = bx
+            packed = (_bf16_directed(lo, False)
+                      | (_bf16_directed(hi, True) << np.uint32(16)))
+            ti[row, 3 * i:3 * i + 3] = packed.view(np.int32)
+        by = np.zeros(24, np.uint8)
+        for i in range(8):
+            by[3 * i] = ev[i] & 0xFF
+            by[3 * i + 1] = (ev[i] >> 8) & 0xFF
+            by[3 * i + 2] = (ev[i] >> 16) & 0xFF
+        ti[row, 24:30] = by.view(np.uint32).view(np.int32)
+        ti[row, 30] = exit_ptr
+        ti[row, 31] = 0
+
+    for o in range(8):
+        base = o * stride
+        stack = [(0, base, done_ptr)] if m else []
+        while stack:
+            ci, row, exit_ptr = stack.pop()
+            ev = [done_ptr & 0xFFFFFF] * 8
+            if meta[ci, 1] > 0:  # leaf root: degenerate 1-child row
+                ev[0] = (8 * (node_end + pair_first[ci])) | 1
+                put_row(row, [(nodes_lo[ci], nodes_hi[ci])], ev, exit_ptr)
+                continue
+            els = elements8(ci, o)
+            k = len(els)
+            boxes = [None] * 8
+            entry = row + 1
+            for i, e in enumerate(els):
+                boxes[i] = (nodes_lo[e], nodes_hi[e])
+                last = 1 if i == k - 1 else 0
+                ex = exit_ptr if i == k - 1 else 8 * row + i + 1
+                if meta[e, 1] > 0:
+                    ev[i] = (8 * (node_end + pair_first[e])) | last
+                else:
+                    ev[i] = (8 * entry) | last
+                    stack.append((e, entry, ex))
+                    entry += int(size8[e])
+            put_row(row, boxes, ev, exit_ptr)
+
+    # tri pair rows: identical layout to the BVH4 table
+    for ci in leaf_ids:
+        f, n = int(meta[ci, 0]), int(meta[ci, 1])
+        p0 = node_end + pair_first[ci]
+        for k2, j in enumerate(range(0, n, 2)):
+            r = p0 + k2
+            table[r, 0:3] = tri_a[f + j]
+            table[r, 3:6] = tri_e1[f + j]
+            table[r, 6:9] = tri_e2[f + j]
+            ti[r, 9] = f + j
+            if j + 1 < n:
+                table[r, 12:15] = tri_a[f + j + 1]
+                table[r, 15:18] = tri_e1[f + j + 1]
+                table[r, 18:21] = tri_e2[f + j + 1]
+                ti[r, 21] = f + j + 1
+            table[r, 10] = 1.0 if j + 2 >= n else 0.0
+    table[done] = 0.0
+    return table, node_end, stride
+
+
 def leaf_histogram(meta):
     """leaf size -> count (the reference's leaf_length_histogram,
     shape_tree.ml:238-247)."""
@@ -562,6 +725,131 @@ def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
         return tuple(o[inv][:n] for o in (t, u, v, idx, hit))
 
     return intersect
+
+
+def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
+    """intersect(...) over the BVH8 re-entry walk table (layout:
+    build_walk_table8). One 32-col gather resolves EIGHT bf16 slab tests
+    (node row) or 2 Moller-Trumbore tests (tri-pair row); subtree exits
+    re-enter the parent at the next child phase (phase = ptr & 7)."""
+    table_default = jnp.asarray(table_np)
+    rows_total = table_np.shape[0]
+    done = 8 * (rows_total - 1)
+    node_end8 = 8 * node_end
+    eps = np.float32(1e-6)
+    key_fn = _coherence_key_fn(root_lo, root_hi)
+
+    def init_state(d, t_max0, active):
+        n = d.shape[0]
+        oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
+                + (d[:, 2] < 0)).astype(jnp.int32)
+        ptr0 = jnp.where(active, oct_ * (8 * stride), done)
+        return (ptr0, jnp.full((n,), done, jnp.int32),
+                jnp.minimum(t_max0, BIG), jnp.zeros((n,)), jnp.zeros((n,)),
+                jnp.zeros((n,), jnp.int32))
+
+    def walk_pass(table_j, org, d, state, cap):
+        inv_d = 1.0 / d
+
+        def cond(sk):
+            state, k = sk
+            live = jnp.any(state[0] != done)
+            return (live & (k < cap)) if cap else live
+
+        def body_k(sk):
+            state, k = sk
+            return body(state), k + 1
+
+        def mt(rows, a_sl, e1_sl, e2_sl, idx_col, rows_i, t_best, u_best,
+               v_best, i_best, is_tri):
+            a = rows[:, a_sl]
+            e1 = rows[:, e1_sl]
+            e2 = rows[:, e2_sl]
+            pvec = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            det_inv = 1.0 / det
+            tvec = org - a
+            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
+            qvec = jnp.cross(tvec, e1)
+            vv = det_inv * jnp.sum(d * qvec, axis=-1)
+            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
+            ok = (is_tri & (jnp.abs(det) >= eps) & (uu >= 0.0)
+                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt >= 0.0) & (tt <= t_best))
+            return (jnp.where(ok, tt, t_best), jnp.where(ok, uu, u_best),
+                    jnp.where(ok, vv, v_best),
+                    jnp.where(ok, rows_i[:, idx_col], i_best))
+
+        def body(state):
+            ptr, lret, t_best, u_best, v_best, i_best = state
+            row_idx = ptr >> 3
+            phase = ptr & 7
+            rows = table_j[row_idx]  # (n, 32): the one gather per step
+            rows_i = lax.bitcast_convert_type(rows, jnp.int32)
+            is_node = ptr < node_end8
+
+            # node interpretation: unpack 8 bf16 boxes (lo = low half,
+            # hi = high half of each int col); NaN pads never hit
+            w = rows_i[:, 0:24]
+            lo = lax.bitcast_convert_type(w << 16, jnp.float32) \
+                .reshape(-1, 8, 3)
+            hi = lax.bitcast_convert_type(
+                w & jnp.int32(-65536), jnp.float32).reshape(-1, 8, 3)
+            t0 = (lo - org[:, None, :]) * inv_d[:, None, :]
+            t1 = (hi - org[:, None, :]) * inv_d[:, None, :]
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            bh = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, t_best[:, None])
+            bh = bh & (jnp.arange(8, dtype=jnp.int32)[None, :]
+                       >= phase[:, None])
+            any_hit = jnp.any(bh, axis=1) & is_node
+            sel = jnp.argmax(bh, axis=1)  # first hit child (near order)
+
+            # unpack all 8 24-bit entries with STATIC shift amounts, then
+            # select by a where-chain: per-lane dynamic shifts/column
+            # gathers lower catastrophically on this TPU (measured ~40 us
+            # per dynamic-shift roll, tools/proto_bisect.py — the first
+            # version of this walker used them and ran 5.5x slower)
+            w24 = [rows_i[:, 24 + c] for c in range(6)]
+            evals = []
+            for i in range(8):
+                bo = 3 * i
+                c, sh = bo >> 2, (bo & 3) * 8
+                v = lax.shift_right_logical(w24[c], np.int32(sh)) \
+                    if sh else w24[c]
+                if sh > 8:
+                    v = v | (w24[c + 1] << np.int32(32 - sh))
+                evals.append(v & 0xFFFFFF)
+            raw = evals[0]
+            for i in range(1, 8):
+                raw = jnp.where(sel == i, evals[i], raw)
+            e_sel = raw & ~7
+            is_last = (raw & 1) == 1
+            skp = rows_i[:, 30]
+            nxt_node = jnp.where(any_hit, e_sel, skp)
+            exit_sel = jnp.where(is_last, skp, (ptr & ~7) + sel + 1)
+
+            # tri-pair interpretation: tri0 then tri1 vs updated t_best
+            is_tri = ~is_node
+            t_best, u_best, v_best, i_best = mt(
+                rows, slice(0, 3), slice(3, 6), slice(6, 9), 9, rows_i,
+                t_best, u_best, v_best, i_best, is_tri)
+            t_best, u_best, v_best, i_best = mt(
+                rows, slice(12, 15), slice(15, 18), slice(18, 21), 21,
+                rows_i, t_best, u_best, v_best, i_best, is_tri)
+
+            nxt_tri = jnp.where(rows[:, 10] > 0.5, lret, ptr + 8)
+            nxt = jnp.where(is_node, nxt_node, nxt_tri)
+            nxt = jnp.where(ptr == done, done, nxt)
+            lret = jnp.where(is_node & any_hit & (e_sel >= node_end8),
+                             exit_sel, lret)
+            return nxt, lret, t_best, u_best, v_best, i_best
+
+        state, _ = lax.while_loop(cond, body_k, (state, jnp.int32(0)))
+        return state
+
+    return _chunked_walk_driver(init_state, walk_pass, key_fn,
+                                table_default, done)
 
 
 def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
@@ -820,6 +1108,20 @@ class MeshBVH:
         self.tri_e1 = jnp.asarray(e1)
         self.tri_e2 = jnp.asarray(e2)
         self.table_j = None
+        if walk == "bvh8":
+            try:
+                table, node_end, stride = build_walk_table8(
+                    nodes_lo, nodes_hi, meta, axes, a, e1, e2)
+            except ValueError:  # >24-bit entries: fall back to BVH4
+                walk = "bvh4"
+            else:
+                self.node_end, self.stride = node_end, stride
+                self.table_j = jnp.asarray(table)
+                jax.block_until_ready(self.table_j)  # see octant note
+                float(self.table_j[0, 0])
+                self.intersect = make_mesh_traverser_bvh8(
+                    self.table_j, node_end, stride, nodes_lo[0],
+                    nodes_hi[0])
         if walk == "bvh4":
             table, node_end, stride = build_walk_table4(
                 nodes_lo, nodes_hi, meta, axes, a, e1, e2)

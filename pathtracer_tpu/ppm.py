@@ -251,6 +251,18 @@ def _cell_hash(ix, iy, iz, m):
     return (h & jnp.int32(0x7FFFFFFF)) % jnp.int32(m)
 
 
+def grid_m_for(photon_count: int) -> int:
+    """Hash-bucket count sized from the photon count: the smallest power
+    of two >= 2x photons (clamped to [2^17, 2^22]) keeps the mean bucket
+    load ~constant as -photon-count grows — the reference accepts
+    arbitrary photon counts (progressive_photon_map.ml:163-278) and its
+    BVH gather scales with photon density, not a fixed table size."""
+    m = 1 << 17
+    while m < 2 * photon_count and m < (1 << 22):
+        m *= 2
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def build_photon_grid(pos, valid, radius, m=1 << 17):
     """Sort photons by hash bucket; returns (order, start, count).
@@ -595,13 +607,16 @@ class PPMRenderer:
         eff_bounces = (1 if scene_all_diffuse(self.scene, self.mesh)
                        else self.max_bounces)
 
+        grid_m = grid_m_for(self.photon_count)
+
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
                 eye_passes[band_rows] = jax.jit(make_eye_pass(
                     self.camera, self.width, self.height,
                     self.max_bounces, self.photon_count, dep_lanes,
-                    self.backend, mesh=self.mesh, band_rows=band_rows,
-                    use_kernel=use_kernel, eff_bounces=eff_bounces))
+                    self.backend, grid_m=grid_m, mesh=self.mesh,
+                    band_rows=band_rows, use_kernel=use_kernel,
+                    eff_bounces=eff_bounces))
             return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
@@ -647,7 +662,8 @@ class PPMRenderer:
                 band_rows = min(256, self.height)
             else:
                 order, start, count = build_photon_grid(pos, ok,
-                                                        jnp.float32(r))
+                                                        jnp.float32(r),
+                                                        m=grid_m)
                 max_bucket = max(1, int(count.max()))
                 # the gather sorts lanes by candidate count and runs
                 # lockstep chunks in sorted order, so a call's duration
@@ -690,16 +706,14 @@ class PPMRenderer:
             futures = []
             for bi in range(n_bands):
                 dev = bi % len(grids)
-                g_dev = grids[dev]
-                base = jax.device_put(
-                    jnp.uint32(i * self.width * self.height), devices[dev])                     if len(grids) > 1 else jnp.uint32(
-                        i * self.width * self.height)
+                if len(grids) > 1:
+                    put = lambda x: jax.device_put(x, devices[dev])
+                else:
+                    put = lambda x: x
                 futures.append(eye_fn(
-                    base, jax.device_put(jnp.float32(r), devices[dev])
-                    if len(grids) > 1 else jnp.float32(r),
-                    g_dev, jax.device_put(jnp.int32(bi * band_rows),
-                                          devices[dev])
-                    if len(grids) > 1 else jnp.int32(bi * band_rows),
+                    put(jnp.uint32(i * self.width * self.height)),
+                    put(jnp.float32(r)), grids[dev],
+                    put(jnp.int32(bi * band_rows)),
                     consts_dev[dev], scene_dev[dev]))
             img = np.concatenate([np.asarray(b, np.float64)
                                   for b in futures])[:self.height]

@@ -57,7 +57,7 @@ def main():
         mesh = MeshBVH(vc, faces, mat, length_cutoff=8, walk=walk)
         print(f"[{walk}] build {time.monotonic()-t0:.2f}s "
               f"depth={mesh.depth}", flush=True)
-        for caps in (caps_list if walk in ("octant", "bvh4") else [None]):
+        for caps in ([None] if walk == "skiplink" else caps_list):
             kw = {"caps": caps} if caps is not None else {}
             jfn = jax.jit(lambda o, dd, tbl, m=mesh, kw=kw: m.intersect(
                 o, dd, chunk=chunk, table=tbl, **kw))
