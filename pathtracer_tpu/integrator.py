@@ -215,7 +215,11 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
             return _trace_pallas2(scene, sampler, org, d, offset, max_bounces,
                                   background, alive0,
                                   interpret=(backend == "pallas2_interpret"))
-        backend = "pallas"
+        # fall back to the composite kernel tier, PRESERVING interpret
+        # mode (losing it made every pallas2_interpret fallback crash on
+        # CPU with "Only interpret mode is supported")
+        backend = ("pallas_interpret" if backend == "pallas2_interpret"
+                   else "pallas")
 
     n = org.shape[0]
     dtype = org.dtype
@@ -433,7 +437,7 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                  spp: int, max_bounces: int, dtype=jnp.float32, intersect_fn=None,
                  dynamic_rows: bool = False, select_mode: str = "gather",
                  backend: str | None = None, tiled: bool | None = None,
-                 mesh=None):
+                 mesh=None, band_tile_rows: int | None = None):
     """Build pass_fn(scene, pass_idx[, row_ids]) -> (radiance sums, segments).
 
     With dynamic_rows=True the pass_fn takes a traced (R,) int32 array of
@@ -445,6 +449,13 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
     paths cluster (whole sky tiles die at bounce 0) and the kernel's
     per-block early-exit actually fires. The reference's Tile.split work
     decomposition (tile.ml:28-39) reborn as a SIMD-coherence layout.
+
+    band_tile_rows (tiled only): return band_pass_fn(scene, pass_idx,
+    tile_row0[, mesh_consts]) -> ((band_tile_rows*TILE, W, 3), segs), a
+    band of tile-rows starting at TRACED tile-row index tile_row0 — the
+    unit of image-space sharding for the TILED pass, so multi-chip runs
+    the same tuned layout as single-chip (rows past the image bottom are
+    dead lanes contributing zero).
     """
     sampler = Sampler(2 + 2 * max_bounces)
     xs = np.arange(width)
@@ -475,6 +486,51 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             img = rad_flat.reshape(tyn, txn, TILE, TILE, 3)
             img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(hp, wp, 3)
             return img[:height, :width]
+
+        if band_tile_rows is not None:
+            bt = band_tile_rows
+            tyb, txb, iyb, ixb = np.meshgrid(
+                np.arange(bt), np.arange(txn), np.arange(TILE),
+                np.arange(TILE), indexing="ij")
+            y_loc = (tyb * TILE + iyb).reshape(-1).astype(np.int32)
+            x_ord_b = (txb * TILE + ixb).reshape(-1)
+            x_valid = x_ord_b < width
+            x_cb = np.minimum(x_ord_b, width - 1)
+
+            def band_pass_fn(scene: SphereScene, pass_idx, tile_row0,
+                             mesh_consts=None):
+                pass_idx = jnp.asarray(pass_idx)
+                lead = pass_idx.shape
+                y_glob = (jnp.asarray(tile_row0, jnp.int32) * TILE
+                          + jnp.asarray(y_loc))
+                valid = (y_glob < height) & jnp.asarray(x_valid)
+                y_cb = jnp.minimum(y_glob, height - 1)
+                pix = (y_cb.astype(jnp.uint32) * np.uint32(width)
+                       + jnp.asarray(x_cb, jnp.uint32))
+                poff = (pass_idx.astype(jnp.uint32)
+                        * np.uint32(spp)).reshape(lead + (1,))
+                offset = pix[None] + poff
+                dx = sampler.get(offset, 0)
+                dy = sampler.get(offset, 1)
+                cx = (jnp.asarray(x_cb, jnp.float32) + dx) * inv_w
+                cy = 1.0 - (y_cb.astype(jnp.float32) + dy) * inv_h
+                dirs = camera.ray_dirs(cx, cy, dtype).reshape(-1, 3)
+                org = jnp.zeros_like(dirs)
+                alive0 = jnp.broadcast_to(valid, offset.shape).reshape(-1)
+                rad, segs = trace(scene, sampler, org, dirs,
+                                  offset.reshape(-1), max_bounces,
+                                  background, intersect_fn, select_mode,
+                                  backend, alive0=alive0, mesh=mesh,
+                                  mesh_consts=mesh_consts)
+                rad = rad.reshape(lead + (bt * txn * TILE * TILE, 3))
+                if lead:
+                    rad = jnp.sum(rad, axis=0)
+                img = rad.reshape(bt, txn, TILE, TILE, 3)
+                img = jnp.transpose(img, (0, 2, 1, 3, 4)) \
+                    .reshape(bt * TILE, wp, 3)
+                return img[:, :width], segs
+
+            return band_pass_fn
 
         def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None,
                           mesh_consts=None):

