@@ -193,7 +193,7 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
           backend: str | None = None, alive0=None, mesh=None,
-          mesh_consts=None):
+          mesh_consts=None, origin_zero: bool = False):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
     segments traced (scalar int32)).
 
@@ -214,7 +214,8 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
         if usable:
             return _trace_pallas2(scene, sampler, org, d, offset, max_bounces,
                                   background, alive0,
-                                  interpret=(backend == "pallas2_interpret"))
+                                  interpret=(backend == "pallas2_interpret"),
+                                  origin_zero=origin_zero)
         # fall back to the composite kernel tier, PRESERVING interpret
         # mode (losing it made every pallas2_interpret fallback crash on
         # CPU with "Only interpret mode is supported")
@@ -284,7 +285,8 @@ DEFAULT_COMPACT_AT = _env_compact_at()
 
 
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
-                   alive0, compact_at=None, interpret=False):
+                   alive0, compact_at=None, interpret=False,
+                   origin_zero=False):
     """Fully fused two-kernel bounce loop (sphere scenes only): Pallas
     intersection + Pallas shading, state kept transposed (10, N) across
     bounces so each bounce reads/writes it exactly once.
@@ -345,14 +347,17 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
 
     def bounce_step(state, rad_t, off_rows, bounce):
         """One intersect+shade bounce at whatever (static) size `state` has."""
-        at, idx = sk.intersect_state_pallas(tables, state, interpret=interpret)
+        at, idx = sk.intersect_state_pallas(
+            tables, state, interpret=interpret,
+            origin_zero=(origin_zero and bounce == 0))
         pk_rows = pack_t[:, idx]
         du, dv = 2 + 2 * bounce, 3 + 2 * bounce
         limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
-        st2, rad_add = shk.shade_pallas(state, pk_rows, off_rows, at,
-                                        limbs, bg_colors, bg_mode=bg_mode,
+        st2, rad_new = shk.shade_pallas(state, pk_rows, off_rows, at,
+                                        limbs, bg_colors, rad_in=rad_t,
+                                        bg_mode=bg_mode,
                                         interpret=interpret)
-        return st2, rad_t + rad_add
+        return st2, rad_new
 
     c1 = min(compact_at) if compact_at else max_bounces
     for bounce in range(c1):
@@ -378,14 +383,22 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
     # every bounce and regressed). Occupancy collapses to ~30% of lanes by
     # bounce 2 (tools/measure_occupancy.py), so the 1/2 branch is typical.
     def make_buckets():
+        # 5 sizes (1, 1/2, 1/4, 1/8, 1/16): occupancy is ~30% by bounce 2
+        # and <2% by the deep HQ bounces; the inner re-selection below
+        # lets the tail bounces drop to the small prefixes
         sizes, b = [rows], rows // 2
-        while b * sk.LANES >= sk.RAY_BLOCK and len(sizes) < 3:
+        while b * sk.LANES >= sk.RAY_BLOCK and len(sizes) < 5:
             sizes.append(-(-b // 8) * 8)
             b //= 2
         return sizes
 
     bucket_sizes = make_buckets()
     rest = sorted(b for b in compact_at if b > c1)
+    # inner re-selection pays a ~0.4 ms lax.switch operand-copy toll per
+    # pass (measured: 57.4 -> 54.7 Mrays/s at the canonical config when
+    # always on), so it only runs when the post-compaction tail is long
+    # enough to win it back (the HQ b=16 configs)
+    last_c = rest[-1] if rest and (max_bounces - rest[-1]) >= 6 else None
 
     def range_branch(prefix):
         def br(state_full, off_full):
@@ -403,7 +416,9 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
                 x = jnp.where(alive1[None, :], x[:, dest1], 0.0)
                 return x.reshape(3, rows, sk.LANES)
 
-            for bounce in range(c1, max_bounces):
+            for bounce in range(c1, last_c if last_c is not None
+                                else max_bounces):
+                # when last_c is None every `rest` bounce compacts here
                 if bounce in rest:
                     fl_new = fl + to_orig(rad)
                     rad = jnp.zeros_like(rad)
@@ -415,6 +430,43 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
                     fl = fl_new
                 segs = segs + jnp.sum((st[9] > 0.0).astype(jnp.int32))
                 st, rad = bounce_step(st, rad, off, bounce)
+
+            if last_c is not None:
+                # final compaction RE-SELECTS the prefix for the tail
+                # bounces with an inner switch (round 3): occupancy keeps
+                # collapsing, so the tail runs at 1/8- or 1/16-size
+                # prefixes instead of inheriting this branch's
+                fl = fl + to_orig(rad)
+                ap = (st[9] > 0.0)
+                stc, offc, k2 = ck.compact_blocks(st, off,
+                                                  interpret=interpret)
+                st, off, n_live2 = ck.pack_rows(stc, offc, k2)
+                chain2.append((ap.reshape(-1), ck.dest_map(ap, k2)))
+                inner_sizes = [p for p in bucket_sizes if p <= prefix]
+
+                def inner_branch(p2):
+                    def ib(st_in, off_in):
+                        st2 = st_in[:, :p2]
+                        off2 = off_in[:p2]
+                        rad2 = jnp.zeros((3, p2, sk.LANES), jnp.float32)
+                        sg = jnp.zeros((), jnp.int32)
+                        for b2 in range(last_c, max_bounces):
+                            sg = sg + jnp.sum(
+                                (st2[9] > 0.0).astype(jnp.int32))
+                            st2, rad2 = bounce_step(st2, rad2, off2, b2)
+                        padr = prefix - p2
+                        if padr:
+                            rad2 = jnp.concatenate(
+                                [rad2, jnp.zeros((3, padr, sk.LANES),
+                                                 jnp.float32)], axis=1)
+                        return rad2, sg
+                    return ib
+
+                isel = sum((n_live2 <= p).astype(jnp.int32)
+                           for p in inner_sizes[1:])
+                rad, sg2 = lax.switch(
+                    isel, [inner_branch(p) for p in inner_sizes], st, off)
+                segs = segs + sg2
             fl = fl + to_orig(rad)
             return fl, segs
         return br
@@ -521,7 +573,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                                   offset.reshape(-1), max_bounces,
                                   background, intersect_fn, select_mode,
                                   backend, alive0=alive0, mesh=mesh,
-                                  mesh_consts=mesh_consts)
+                                  mesh_consts=mesh_consts,
+                                  origin_zero=True)
                 rad = rad.reshape(lead + (bt * txn * TILE * TILE, 3))
                 if lead:
                     rad = jnp.sum(rad, axis=0)
@@ -550,7 +603,7 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                               max_bounces, background, intersect_fn,
                               select_mode, backend, alive0=alive0, mesh=mesh,
-                              mesh_consts=mesh_consts)
+                              mesh_consts=mesh_consts, origin_zero=True)
             rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
             if lead:
                 rad = jnp.sum(rad, axis=0)
@@ -580,7 +633,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
         org = jnp.zeros_like(dirs)
         rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                           max_bounces, background, intersect_fn, select_mode,
-                          backend, mesh=mesh, mesh_consts=mesh_consts)
+                          backend, mesh=mesh, mesh_consts=mesh_consts,
+                          origin_zero=True)
         rad = rad.reshape(lead + (rows, width, 3))
         if lead:
             rad = jnp.sum(rad, axis=0)

@@ -27,15 +27,18 @@ from jax import lax
 BIG = np.float32(3.0e38)
 
 
-def _default_walk_caps():
+def _default_walk_caps(fallback=(64, 0)):
     """Multi-pass walk schedule; override with PATHTRACER_WALK_CAPS
     (comma-separated step caps, 0 = run to completion) for on-hardware
     tuning. Malformed values fall back to the measured default.
 
-    Swept on the 449k-tri mesh at 600x600 eye rays (ms/call): (64,0) 895,
-    (80,0) 915, (48,96,0) 918, (56,0) 939, (96,0) 957, (32,96,0) 1018 —
-    one capped pass + one resort + one uncapped pass wins; the second
-    resort of the deeper schedules costs more than it saves."""
+    Swept on the 449k-tri mesh at 600x600 eye rays (ms/call): binary
+    octant walk (64,0) 895, (80,0) 915, (48,96,0) 918, (56,0) 939,
+    (96,0) 957, (32,96,0) 1018 — one capped pass + one resort + one
+    uncapped pass wins; the second resort of the deeper schedules costs
+    more than it saves. BVH8 walk (its mean lane-steps are 13.7 vs the
+    binary walk's 38): (24,0) 471, (16,0) 531, (12,0) 577, uncapped 589
+    at chunk 512; chunk 1024 regresses ((24,0) 539)."""
     import os
     env = os.environ.get("PATHTRACER_WALK_CAPS")
     if env:
@@ -48,7 +51,7 @@ def _default_walk_caps():
                 return caps
         except ValueError:
             pass
-    return (64, 0)
+    return fallback
 
 
 def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
@@ -670,7 +673,7 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
 
 
 def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
-                         done):
+                         done, default_caps=(64, 0)):
     """The chunked + coherence-sorted + capped-multi-pass walk driver,
     shared by the binary-octant and BVH4 traversers (the two differ only
     in per-step row interpretation). See make_mesh_traverser_octant's
@@ -690,7 +693,7 @@ def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
         if active is None:
             active = jnp.ones((n,), bool)
         if caps is None:
-            caps = _default_walk_caps()
+            caps = _default_walk_caps(default_caps)
         if not caps or caps[-1] != 0:
             caps = tuple(caps) + (0,)  # completion is not optional
         tbl = table_default if table is None else table
@@ -872,7 +875,7 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
         return state
 
     return _chunked_walk_driver(init_state, walk_pass, key_fn,
-                                table_default, done)
+                                table_default, done, default_caps=(24, 0))
 
 
 def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
@@ -978,7 +981,7 @@ def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
         return state
 
     return _chunked_walk_driver(init_state, walk_pass, key_fn,
-                                table_default, done)
+                                table_default, done, default_caps=(32, 0))
 
 
 def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,

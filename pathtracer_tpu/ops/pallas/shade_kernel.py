@@ -86,12 +86,14 @@ def _lds(offset_u32, hi, lo):
 
 
 def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
-            out_st_ref, rad_ref, *, bg_mode):
+            rad_in_ref, out_st_ref, rad_ref, *, bg_mode):
     alive = st_ref[9]
     any_alive = jnp.max(alive) > 0.0
-    # default outputs: passthrough state, no radiance
+    # default outputs: passthrough state and accumulated radiance (the
+    # radiance accumulator rides THROUGH the kernel so dead blocks skip
+    # the XLA-side add entirely)
     out_st_ref[...] = st_ref[...]
-    rad_ref[...] = jnp.zeros_like(rad_ref)
+    rad_ref[...] = rad_in_ref[...]
 
     @pl.when(any_alive)
     def _run():
@@ -248,9 +250,9 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
             b1 = jnp.full_like(d0, bg_ref[0, 1])
             b2 = jnp.full_like(d0, bg_ref[0, 2])
         zero = jnp.zeros_like(d0)
-        rad_ref[0] = jnp.where(miss, a0 * b0, zero)
-        rad_ref[1] = jnp.where(miss, a1 * b1, zero)
-        rad_ref[2] = jnp.where(miss, a2 * b2, zero)
+        rad_ref[0] = rad_in_ref[0] + jnp.where(miss, a0 * b0, zero)
+        rad_ref[1] = rad_in_ref[1] + jnp.where(miss, a1 * b1, zero)
+        rad_ref[2] = rad_in_ref[2] + jnp.where(miss, a2 * b2, zero)
 
         new_alive = hit & ok
         out_st_ref[0] = jnp.where(new_alive, no0, o0)
@@ -267,17 +269,21 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
 
 @functools.partial(jax.jit, static_argnames=("bg_mode", "interpret"))
 def shade_pallas(state_rows, pk_rows, off_rows, at_rows, limbs, bg_colors,
-                 bg_mode=1, interpret=False):
+                 rad_in=None, bg_mode=1, interpret=False):
     """Run the shading stage for one bounce, all in (lead, rows, LANES)
     layout: state_rows (10,...) [org3, dir3, attn3, alive]; pk_rows (16,...)
     gathered material columns; off_rows (rows, LANES) uint32 offsets;
     at_rows (rows, LANES) the intersection kernel's a*t key (BIG = miss);
-    limbs: (2, 2) uint32 [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3).
-    Returns (new_state (10, rows, LANES), rad_add (3, rows, LANES)).
+    limbs: (2, 2) uint32 [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3);
+    rad_in (3, rows, LANES): the radiance accumulator, updated in place
+    (miss radiance is added IN-KERNEL so dead blocks skip the add).
+    Returns (new_state (10, rows, LANES), rad (3, rows, LANES)).
     """
     _, rows, lanes = state_rows.shape
     assert lanes == LANES and (rows * LANES) % RAY_BLOCK == 0
     block_rows = RAY_BLOCK // LANES
+    if rad_in is None:
+        rad_in = jnp.zeros((3, rows, LANES), jnp.float32)
 
     def spec3(lead):
         return pl.BlockSpec((lead, block_rows, LANES), lambda i: (0, i, 0),
@@ -290,11 +296,12 @@ def shade_pallas(state_rows, pk_rows, off_rows, at_rows, limbs, bg_colors,
         grid=(rows // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  spec3(10), spec3(16), lane_spec, lane_spec],
+                  spec3(10), spec3(16), lane_spec, lane_spec, spec3(3)],
         out_specs=(spec3(10), spec3(3)),
         out_shape=(jax.ShapeDtypeStruct((10, rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32)),
-        input_output_aliases={2: 0},  # update the state in place
+        # update state and the radiance accumulator in place
+        input_output_aliases={2: 0, 6: 1},
         interpret=interpret,
-    )(limbs, bg_colors, state_rows, pk_rows, off_rows, at_rows)
+    )(limbs, bg_colors, state_rows, pk_rows, off_rows, at_rows, rad_in)
     return out_st, rad

@@ -74,13 +74,14 @@ def _kernel_body(sph_ref, d0_ref, d1_ref, d2_ref,
         bp = cx * d0 + cy * d1 + cz * d2 - od
         g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
         disc = g + bp * bp * inv_a
+        # NaN-miss trick (the Rust kernel's, lib.rs:102-178): disc < 0 =>
+        # sqrt is NaN => both compares below are false and the lane keeps
+        # its best — no explicit validity mask/select needed
         sq = jnp.sqrt(a * disc)
         inside_pos = (g >= 0.0) & (bp >= 0.0)
         at = bp + jnp.where(inside_pos, sq, -sq)
-        ok = (disc >= 0.0) & (at >= 0.0)
-        cand = jnp.where(ok, at, BIG)
-        upd = cand < best_at
-        best_at = jnp.where(upd, cand, best_at)
+        upd = (at < best_at) & (at >= 0.0)
+        best_at = jnp.where(upd, at, best_at)
         best_idx = jnp.where(upd, s, best_idx)
         return best_at, best_idx
 
@@ -313,10 +314,17 @@ def intersect_spheres_pallas(tables, org, d, alive=None, interpret=False):
     return at, idx, at < BIG, 1.0 / a
 
 
-def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres):
+def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres,
+                  origin_zero=False):
     """State-layout variant: reads rays straight from the (10, rows, LANES)
     wavefront state (rows 0-2 origin, 3-5 direction, 9 alive) — no
-    per-bounce transposes or component copies in XLA."""
+    per-bounce transposes or component copies in XLA.
+
+    origin_zero: bounce-0 specialization. Scenes are pre-transformed to
+    camera space so every primary ray starts at the exact origin
+    (camera.ml:93-102 / the reference's scene-to-camera-space trick);
+    od = oq = 0 and g = A collapse ~1/3 of the per-sphere ops, and
+    bounce 0 is ~40% of all traced segments."""
     at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
     idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
     any_alive = jnp.max(st_ref[9]) > 0.0
@@ -325,30 +333,36 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres):
     def _run():
         o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
         d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
-        od = o0 * d0 + o1 * d1 + o2 * d2
-        oq = o0 * o0 + o1 * o1 + o2 * o2
+        if not origin_zero:
+            od = o0 * d0 + o1 * d1 + o2 * d2
+            oq = o0 * o0 + o1 * o1 + o2 * o2
         # the path tracer's directions are unit by construction (camera
         # normalize, local mirror/refract/hemisphere all preserve norm), so
         # a = |d|^2 = 1 within one ulp: the selection key drops the /a and
         # *a terms (the stable t in the shade kernel keeps exact a handling)
 
-        unroll = 8
+        unroll = 16
 
         def one(s, best_at, best_idx):
             cx = sph_ref[0, s]
             cy = sph_ref[1, s]
             cz = sph_ref[2, s]
             a_s = sph_ref[3, s]
-            bp = cx * d0 + cy * d1 + cz * d2 - od
-            g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
+            if origin_zero:
+                bp = cx * d0 + cy * d1 + cz * d2
+                g = a_s
+            else:
+                bp = cx * d0 + cy * d1 + cz * d2 - od
+                g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
             disc = g + bp * bp
+            # NaN-miss (the Rust kernel's trick, lib.rs:102-178): disc < 0
+            # makes sqrt NaN, both compares false, lane keeps its best —
+            # no validity mask or BIG-select needed
             sq = jnp.sqrt(disc)
             inside_pos = (g >= 0.0) & (bp >= 0.0)
             at = bp + jnp.where(inside_pos, sq, -sq)
-            ok = (disc >= 0.0) & (at >= 0.0)
-            cand = jnp.where(ok, at, BIG)
-            upd = cand < best_at
-            best_at = jnp.where(upd, cand, best_at)
+            upd = (at < best_at) & (at >= 0.0)
+            best_at = jnp.where(upd, at, best_at)
             best_idx = jnp.where(upd, s, best_idx)
             return best_at, best_idx
 
@@ -361,14 +375,17 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres):
 
         init = (jnp.full(o0.shape, BIG, jnp.float32),
                 jnp.zeros(o0.shape, jnp.int32))
-        best_at, best_idx = jax.lax.fori_loop(0, n_spheres // unroll, body,
-                                              init)
+        main = n_spheres // unroll
+        best_at, best_idx = jax.lax.fori_loop(0, main, body, init)
+        for s in range(main * unroll, n_spheres):  # static tail
+            best_at, best_idx = one(s, best_at, best_idx)
         at_ref[:] = best_at
         idx_ref[:] = best_idx
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def intersect_state_pallas(sph_table, state_rows, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "origin_zero"))
+def intersect_state_pallas(sph_table, state_rows, interpret=False,
+                           origin_zero=False):
     """Nearest-hit over the (10, rows, LANES) wavefront state.
     Returns (at (rows, LANES), idx (rows, LANES) int32)."""
     _, rows, lanes = state_rows.shape
@@ -382,7 +399,8 @@ def intersect_state_pallas(sph_table, state_rows, interpret=False):
     out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel_state, n_spheres=n_spheres),
+        functools.partial(_kernel_state, n_spheres=n_spheres,
+                          origin_zero=origin_zero),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), st_spec],
         out_specs=(out_spec, out_spec),
