@@ -134,16 +134,25 @@ def _emit_rays(lights, counts, starts, lane_ids, u, v, dtype):
 
 def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
                      backend: str, dtype=jnp.float32, mesh=None,
-                     lanes_per_call: int = 131072):
+                     lanes_per_call: int = 131072, devices=None):
     """Build trace_photons(offset_base) -> (pos, normal, flux, valid)
     deposit arrays of shape (lanes*max_bounces, .). Large photon budgets are
     traced in host-level chunks of lanes_per_call lanes so no single device
     call outlives the tunneled TPU's tolerance (same guard as the eye
-    bands); sampling is positional so chunking is invisible."""
+    bands); sampling is positional so chunking is invisible.
+
+    devices: when more than one, chunks round-robin across them (the
+    reference's photon loop is serial, progressive_photon_map.ml:259-277;
+    here the immutable scene broadcasts and chunk deposits concatenate,
+    bit-identically to single-device because sampling is positional)."""
     sampler = Sampler(2 + 2 * max_bounces)
     counts, starts, total = light_photon_counts(lights, photon_count)
     lanes = -(-total // 1024) * 1024
+    n_dev = len(devices) if devices else 1
     chunk = min(lanes, lanes_per_call)
+    if n_dev > 1:  # split so every device gets work
+        per_dev = -(-lanes // n_dev)
+        chunk = min(chunk, -(-per_dev // 1024) * 1024)
     n_chunks = -(-lanes // chunk)
     # mesh AND scene arrays ride as jit arguments, not closure constants
     # (see MeshBVH.device_consts): lowering a closed-over DEVICE array into
@@ -218,22 +227,48 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         _, (dep_pos, dep_nrm, dep_flux, dep_ok) = jax.lax.scan(
             bounce_body, (org, d, flux, alive),
             jnp.arange(max_bounces, dtype=jnp.int32))
-        return (dep_pos.reshape(-1, 3), dep_nrm.reshape(-1, 3),
-                dep_flux.reshape(-1, 3), dep_ok.reshape(-1))
+        # keep the (bounce, lane) axes separate: chunked calls concatenate
+        # on the LANE axis so the flattened deposit order is identical to
+        # an unchunked call (bit-equal photon maps however work is split)
+        return dep_pos, dep_nrm, dep_flux, dep_ok
 
-    dep_rows = n_chunks * chunk * max_bounces
+    dep_rows = lanes * max_bounces
+
+    def flatten(o):
+        return tuple(x.reshape(-1, 3) if x.ndim == 3 else x.reshape(-1)
+                     for x in o)
+
     if n_chunks == 1:
-        one_chunk = lambda offset_base: trace_chunk(offset_base, jnp.int32(0),
-                                                    consts, scene)
+        one_chunk = lambda offset_base: flatten(trace_chunk(
+            offset_base, jnp.int32(0), consts, scene))
         one_chunk._trace_chunk = trace_chunk  # AOT phase diagnostics
         return one_chunk, total, dep_rows
 
+    if n_dev > 1:
+        # broadcast the immutable scene/mesh once per device (the
+        # reference shares them via shared memory across domains)
+        consts_dev = [jax.device_put(consts, d) for d in devices]
+        scene_dev = [jax.device_put(scene, d) for d in devices]
+    else:
+        consts_dev = [consts]
+        scene_dev = [scene]
+
     def trace_photons(offset_base):
-        outs = [trace_chunk(offset_base, jnp.int32(ci * chunk), consts,
-                            scene)
-                for ci in range(n_chunks)]
-        return tuple(jnp.concatenate([o[k] for o in outs])
-                     for k in range(4))
+        outs = []
+        for ci in range(n_chunks):
+            di = ci % n_dev
+            base = jnp.int32(ci * chunk)
+            ob = jnp.uint32(offset_base)
+            if n_dev > 1:
+                base = jax.device_put(base, devices[di])
+                ob = jax.device_put(ob, devices[di])
+            outs.append(trace_chunk(ob, base, consts_dev[di],
+                                    scene_dev[di]))
+        dev0 = jax.devices()[0]
+        cat = tuple(jnp.concatenate(
+            [jax.device_put(o[k], dev0) for o in outs], axis=1)[:, :lanes]
+            for k in range(4))
+        return flatten(cat)
 
     trace_photons._trace_chunk = trace_chunk  # AOT phase diagnostics
     return trace_photons, total, dep_rows
@@ -589,7 +624,8 @@ class PPMRenderer:
             print("-----", flush=True)
         trace_photons, total, dep_lanes = make_photon_pass(
             self.scene, self.lights, self.photon_count, self.max_bounces,
-            self.backend, mesh=self.mesh)
+            self.backend, mesh=self.mesh,
+            devices=self.devices or jax.devices())
         # Per-band device-call duration scales with lanes x the worst
         # lane's gather length (27 x max bucket load). Band height is chosen
         # per iteration from the actual photon grid so dense early-iteration
