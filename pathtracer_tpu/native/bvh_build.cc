@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <atomic>
 #include <future>
 #include <limits>
 #include <thread>
@@ -67,21 +68,17 @@ struct Builder {
     }
   }
 
-  int rec(int32_t* idx, int count, int depth) {
-    max_depth = std::max(max_depth, depth);
-    int me = (int)nodes.size();
-    nodes.emplace_back();
-    prim_union(idx, count, nodes[me].lo, nodes[me].hi);
-    nodes[me].first = 0;
-    nodes[me].count = 0;
-    nodes[me].skip = 0;
-    nodes[me].axis = -1;
-
+  // Split decision + in-place partition, shared by the serial recursion
+  // and the parallel skeleton phase (so both produce identical trees).
+  // Returns true for a leaf; otherwise *mid/*axis describe the split and
+  // idx is partitioned.
+  bool decide_split(int32_t* idx, int count, const float node_lo[3],
+                    const float node_hi[3], int* mid, int* axis_out) {
     bool make_leaf = count <= 4;
     int best_axis = -1, best_bin = -1;
     float best_cost = 1e30f, best_cmin = 0, best_cmax = 0;
     if (!make_leaf) {
-      float total_area = std::max(area(nodes[me].lo, nodes[me].hi), 1e-30f);
+      float total_area = std::max(area(node_lo, node_hi), 1e-30f);
       for (int axis = 0; axis < 3; ++axis) {
         float cmin = 1e30f, cmax = -1e30f;
         for (int k = 0; k < count; ++k) {
@@ -155,23 +152,14 @@ struct Builder {
       if (count <= length_cutoff && (best_axis < 0 || sah_stop))
         make_leaf = true;
     }
+    if (make_leaf) return true;
 
-    if (make_leaf) {
-      nodes[me].first = (int32_t)order.size();
-      nodes[me].count = count;
-      for (int k = 0; k < count; ++k) order.push_back(idx[k]);
-      nodes[me].skip = me + 1;
-      return me;
-    }
-
-    int mid;
     if (best_axis < 0) {
-      mid = count / 2;  // degenerate centroids: median split
+      *mid = count / 2;  // degenerate centroids: median split
       // ordered traversal wants SOME axis: use the longest bbox extent
-      float ext[3] = {nodes[me].hi[0] - nodes[me].lo[0],
-                      nodes[me].hi[1] - nodes[me].lo[1],
-                      nodes[me].hi[2] - nodes[me].lo[2]};
-      nodes[me].axis = (int32_t)(std::max_element(ext, ext + 3) - ext);
+      float ext[3] = {node_hi[0] - node_lo[0], node_hi[1] - node_lo[1],
+                      node_hi[2] - node_lo[2]};
+      *axis_out = (int)(std::max_element(ext, ext + 3) - ext);
     } else {
       float scale = num_bins / (best_cmax - best_cmin);
       auto pred = [&](int32_t p) {
@@ -181,14 +169,176 @@ struct Builder {
         return b <= best_bin;
       };
       int32_t* split = std::partition(idx, idx + count, pred);
-      mid = (int)(split - idx);
-      if (mid == 0 || mid == count) mid = count / 2;
-      nodes[me].axis = best_axis;
+      *mid = (int)(split - idx);
+      if (*mid == 0 || *mid == count) *mid = count / 2;
+      *axis_out = best_axis;
     }
+    return false;
+  }
+
+  int rec(int32_t* idx, int count, int depth) {
+    max_depth = std::max(max_depth, depth);
+    int me = (int)nodes.size();
+    nodes.emplace_back();
+    prim_union(idx, count, nodes[me].lo, nodes[me].hi);
+    nodes[me].first = 0;
+    nodes[me].count = 0;
+    nodes[me].skip = 0;
+    nodes[me].axis = -1;
+
+    int mid, axis;
+    if (decide_split(idx, count, nodes[me].lo, nodes[me].hi, &mid, &axis)) {
+      nodes[me].first = (int32_t)order.size();
+      nodes[me].count = count;
+      for (int k = 0; k < count; ++k) order.push_back(idx[k]);
+      nodes[me].skip = me + 1;
+      return me;
+    }
+    nodes[me].axis = axis;
     rec(idx, mid, depth + 1);
     rec(idx + mid, count - mid, depth + 1);
     nodes[me].skip = (int32_t)nodes.size();
     return me;
+  }
+};
+
+// Parallel SAH build: a serial skeleton phase splits the top of the tree
+// until subtrees are small enough to farm out, worker threads build each
+// subtree with the SAME decide_split/rec code into local Builders, and a
+// serial stitch re-emits everything in global DFS order with index
+// fixups — the output is byte-identical to the serial build (the split
+// logic, partition, and DFS order are unchanged; only who executes them
+// differs).
+struct ParBuilder {
+  struct Skel {
+    float lo[3], hi[3];
+    int axis;
+    int left = -1, right = -1;  // skeleton children
+    int task = -1;              // >= 0: subtree built by a worker
+  };
+  struct Task {
+    int32_t* idx;
+    int count, depth;
+  };
+
+  Builder top;  // split decisions + scratch for the skeleton phase
+  std::vector<Skel> skel;
+  std::vector<Task> tasks;
+  std::vector<Builder> task_builders;
+  int task_threshold = 0;
+
+  int build_skeleton(int32_t* idx, int count, int depth) {
+    int me = (int)skel.size();
+    skel.emplace_back();
+    top.prim_union(idx, count, skel[me].lo, skel[me].hi);
+    skel[me].axis = -1;
+    int mid, axis;
+    if (count <= task_threshold || depth >= 8
+        || top.decide_split(idx, count, skel[me].lo, skel[me].hi, &mid,
+                            &axis)) {
+      skel[me].task = (int)tasks.size();
+      tasks.push_back({idx, count, depth});
+      return me;
+    }
+    skel[me].axis = axis;
+    int l = build_skeleton(idx, mid, depth + 1);
+    skel[me].left = l;
+    int r = build_skeleton(idx + mid, count - mid, depth + 1);
+    skel[me].right = r;
+    return me;
+  }
+
+  // stitch one skeleton node into the output Builder-style arrays
+  void emit(int si, std::vector<Node>& nodes, std::vector<int32_t>& order,
+            int* max_depth, int depth) {
+    const Skel& s = skel[si];
+    if (s.task >= 0) {
+      const Builder& b = task_builders[s.task];
+      int node_base = (int)nodes.size();
+      int order_base = (int)order.size();
+      for (const Node& n : b.nodes) {
+        nodes.push_back(n);
+        Node& m = nodes.back();
+        if (m.count > 0) {
+          m.first += order_base;
+          m.skip = (int32_t)(node_base + (&n - b.nodes.data()) + 1);
+        } else {
+          m.skip += node_base;
+        }
+      }
+      order.insert(order.end(), b.order.begin(), b.order.end());
+      // task builders were launched at their absolute depth, so their
+      // max_depth is already absolute
+      *max_depth = std::max(*max_depth, b.max_depth);
+      return;
+    }
+    int me = (int)nodes.size();
+    nodes.emplace_back();
+    std::memcpy(nodes[me].lo, s.lo, 12);
+    std::memcpy(nodes[me].hi, s.hi, 12);
+    nodes[me].first = 0;
+    nodes[me].count = 0;
+    nodes[me].axis = s.axis;
+    *max_depth = std::max(*max_depth, depth);
+    emit(s.left, nodes, order, max_depth, depth + 1);
+    emit(s.right, nodes, order, max_depth, depth + 1);
+    nodes[me].skip = (int32_t)nodes.size();
+  }
+
+  void run(const float* plo, const float* phi, int n, int length_cutoff,
+           int num_bins, float cost_i, float cost_t,
+           std::vector<Node>& nodes, std::vector<int32_t>& order,
+           int* max_depth) {
+    top.plo = plo;
+    top.phi = phi;
+    top.length_cutoff = length_cutoff;
+    top.num_bins = num_bins;
+    top.cost_i = cost_i;
+    top.cost_t = cost_t;
+    top.cx.resize(n);
+    top.cy.resize(n);
+    top.cz.resize(n);
+    top.work.resize(n);
+    for (int i = 0; i < n; ++i) {
+      top.cx[i] = 0.5f * (plo[3 * i] + phi[3 * i]);
+      top.cy[i] = 0.5f * (plo[3 * i + 1] + phi[3 * i + 1]);
+      top.cz[i] = 0.5f * (plo[3 * i + 2] + phi[3 * i + 2]);
+      top.work[i] = i;
+    }
+    unsigned hw = std::max(2u, std::thread::hardware_concurrency());
+    task_threshold = std::max(4096, n / (int)(4 * hw));
+    build_skeleton(top.work.data(), n, 1);
+
+    task_builders.resize(tasks.size());
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t t = next.fetch_add(1);
+        if (t >= tasks.size()) return;
+        Builder& b = task_builders[t];
+        b.plo = plo;
+        b.phi = phi;
+        b.length_cutoff = length_cutoff;
+        b.num_bins = num_bins;
+        b.cost_i = cost_i;
+        b.cost_t = cost_t;
+        b.cx = top.cx;  // centroid tables are read-only; copy per task
+        b.cy = top.cy;  // keeps Builder untouched (cheap vs the build)
+        b.cz = top.cz;
+        b.nodes.reserve(2 * tasks[t].count);
+        b.order.reserve(tasks[t].count);
+        b.rec(tasks[t].idx, tasks[t].count, tasks[t].depth);
+      }
+    };
+    std::vector<std::thread> ts;
+    unsigned nt = std::min<size_t>(hw, tasks.size());
+    for (unsigned i = 0; i < nt; ++i) ts.emplace_back(worker);
+    for (auto& th : ts) th.join();
+
+    nodes.reserve(2 * n);
+    order.reserve(n);
+    *max_depth = 0;
+    emit(0, nodes, order, max_depth, 1);
   }
 };
 
@@ -233,6 +383,63 @@ struct OctFlattener {
 
 }  // namespace
 
+namespace {
+
+// Shared driver: serial Builder for small inputs, ParBuilder above the
+// threshold (outputs are byte-identical; threads only pay off at scale).
+int build_common(const float* prim_lo, const float* prim_hi, int n,
+                 int length_cutoff, int num_bins, float cost_i,
+                 float cost_t, float* nodes_lo, float* nodes_hi,
+                 int32_t* meta, int32_t* order_out, int32_t* depth_out,
+                 int32_t* axes_out) {
+  std::vector<Node> nodes;
+  std::vector<int32_t> order;
+  int max_depth = 0;
+  if (n >= 65536 && std::thread::hardware_concurrency() > 1) {
+    ParBuilder pb;
+    pb.run(prim_lo, prim_hi, n, length_cutoff, num_bins, cost_i, cost_t,
+           nodes, order, &max_depth);
+  } else {
+    Builder b;
+    b.plo = prim_lo;
+    b.phi = prim_hi;
+    b.length_cutoff = length_cutoff;
+    b.num_bins = num_bins;
+    b.cost_i = cost_i;
+    b.cost_t = cost_t;
+    b.cx.resize(n);
+    b.cy.resize(n);
+    b.cz.resize(n);
+    b.work.resize(n);
+    b.nodes.reserve(2 * n);
+    b.order.reserve(n);
+    for (int i = 0; i < n; ++i) {
+      b.cx[i] = 0.5f * (prim_lo[3 * i] + prim_hi[3 * i]);
+      b.cy[i] = 0.5f * (prim_lo[3 * i + 1] + prim_hi[3 * i + 1]);
+      b.cz[i] = 0.5f * (prim_lo[3 * i + 2] + prim_hi[3 * i + 2]);
+      b.work[i] = i;
+    }
+    b.rec(b.work.data(), n, 1);
+    nodes.swap(b.nodes);
+    order.swap(b.order);
+    max_depth = b.max_depth;
+  }
+  int m = (int)nodes.size();
+  for (int i = 0; i < m; ++i) {
+    std::memcpy(nodes_lo + 3 * i, nodes[i].lo, 12);
+    std::memcpy(nodes_hi + 3 * i, nodes[i].hi, 12);
+    meta[3 * i] = nodes[i].first;
+    meta[3 * i + 1] = nodes[i].count;
+    meta[3 * i + 2] = nodes[i].skip;
+    if (axes_out) axes_out[i] = nodes[i].axis;
+  }
+  std::memcpy(order_out, order.data(), 4 * order.size());
+  depth_out[0] = max_depth;
+  return m;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Returns the node count; fills the output arrays (caller allocates
@@ -241,37 +448,9 @@ int bvh_build(const float* prim_lo, const float* prim_hi, int n,
               int length_cutoff, int num_bins, float cost_i, float cost_t,
               float* nodes_lo, float* nodes_hi, int32_t* meta,
               int32_t* order_out, int32_t* depth_out) {
-  Builder b;
-  b.plo = prim_lo;
-  b.phi = prim_hi;
-  b.length_cutoff = length_cutoff;
-  b.num_bins = num_bins;
-  b.cost_i = cost_i;
-  b.cost_t = cost_t;
-  b.cx.resize(n);
-  b.cy.resize(n);
-  b.cz.resize(n);
-  b.work.resize(n);
-  b.nodes.reserve(2 * n);
-  b.order.reserve(n);
-  for (int i = 0; i < n; ++i) {
-    b.cx[i] = 0.5f * (prim_lo[3 * i] + prim_hi[3 * i]);
-    b.cy[i] = 0.5f * (prim_lo[3 * i + 1] + prim_hi[3 * i + 1]);
-    b.cz[i] = 0.5f * (prim_lo[3 * i + 2] + prim_hi[3 * i + 2]);
-    b.work[i] = i;
-  }
-  b.rec(b.work.data(), n, 1);
-  int m = (int)b.nodes.size();
-  for (int i = 0; i < m; ++i) {
-    std::memcpy(nodes_lo + 3 * i, b.nodes[i].lo, 12);
-    std::memcpy(nodes_hi + 3 * i, b.nodes[i].hi, 12);
-    meta[3 * i] = b.nodes[i].first;
-    meta[3 * i + 1] = b.nodes[i].count;
-    meta[3 * i + 2] = b.nodes[i].skip;
-  }
-  std::memcpy(order_out, b.order.data(), 4 * b.order.size());
-  depth_out[0] = b.max_depth;
-  return m;
+  return build_common(prim_lo, prim_hi, n, length_cutoff, num_bins, cost_i,
+                      cost_t, nodes_lo, nodes_hi, meta, order_out,
+                      depth_out, nullptr);
 }
 
 // bvh_build plus per-node split axes (needed for ordered traversal
@@ -280,38 +459,9 @@ int bvh_build2(const float* prim_lo, const float* prim_hi, int n,
                int length_cutoff, int num_bins, float cost_i, float cost_t,
                float* nodes_lo, float* nodes_hi, int32_t* meta,
                int32_t* order_out, int32_t* depth_out, int32_t* axes_out) {
-  Builder b;
-  b.plo = prim_lo;
-  b.phi = prim_hi;
-  b.length_cutoff = length_cutoff;
-  b.num_bins = num_bins;
-  b.cost_i = cost_i;
-  b.cost_t = cost_t;
-  b.cx.resize(n);
-  b.cy.resize(n);
-  b.cz.resize(n);
-  b.work.resize(n);
-  b.nodes.reserve(2 * n);
-  b.order.reserve(n);
-  for (int i = 0; i < n; ++i) {
-    b.cx[i] = 0.5f * (prim_lo[3 * i] + prim_hi[3 * i]);
-    b.cy[i] = 0.5f * (prim_lo[3 * i + 1] + prim_hi[3 * i + 1]);
-    b.cz[i] = 0.5f * (prim_lo[3 * i + 2] + prim_hi[3 * i + 2]);
-    b.work[i] = i;
-  }
-  b.rec(b.work.data(), n, 1);
-  int m = (int)b.nodes.size();
-  for (int i = 0; i < m; ++i) {
-    std::memcpy(nodes_lo + 3 * i, b.nodes[i].lo, 12);
-    std::memcpy(nodes_hi + 3 * i, b.nodes[i].hi, 12);
-    meta[3 * i] = b.nodes[i].first;
-    meta[3 * i + 1] = b.nodes[i].count;
-    meta[3 * i + 2] = b.nodes[i].skip;
-    axes_out[i] = b.nodes[i].axis;
-  }
-  std::memcpy(order_out, b.order.data(), 4 * b.order.size());
-  depth_out[0] = b.max_depth;
-  return m;
+  return build_common(prim_lo, prim_hi, n, length_cutoff, num_bins, cost_i,
+                      cost_t, nodes_lo, nodes_hi, meta, order_out,
+                      depth_out, axes_out);
 }
 
 // ---- BVH4 re-entry walk table (ops/bvh.py build_walk_table4: layout &

@@ -62,7 +62,12 @@ def build_bvh(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
 
     Uses the C++ builder (native/bvh_build.cc) when available — ~100x the
     python builder on large meshes — with this numpy version as the
-    reference implementation and fallback.
+    reference implementation and fallback. The two can produce different
+    (equally valid) trees on bin ties: numpy's mask split is stable,
+    std::partition is not. Tree shape never affects images (nearest-hit
+    is unique), so tests assert IMAGE/intersection equality, not tree
+    equality. The C++ builder parallelizes across subtrees above 65k
+    primitives with output byte-identical to its serial path.
     """
     if native:
         from ..native import bvh_build_native
