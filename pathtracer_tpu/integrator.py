@@ -193,7 +193,7 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
           backend: str | None = None, alive0=None, mesh=None,
-          mesh_consts=None, origin_zero: bool = False):
+          mesh_consts=None, origin_zero: bool = False, block_lists0=None):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
     segments traced (scalar int32)).
 
@@ -215,7 +215,8 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
             return _trace_pallas2(scene, sampler, org, d, offset, max_bounces,
                                   background, alive0,
                                   interpret=(backend == "pallas2_interpret"),
-                                  origin_zero=origin_zero)
+                                  origin_zero=origin_zero,
+                                  block_lists0=block_lists0)
         # fall back to the composite kernel tier, PRESERVING interpret
         # mode (losing it made every pallas2_interpret fallback crash on
         # CPU with "Only interpret mode is supported")
@@ -286,7 +287,7 @@ DEFAULT_COMPACT_AT = _env_compact_at()
 
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
                    alive0, compact_at=None, interpret=False,
-                   origin_zero=False):
+                   origin_zero=False, block_lists0=None):
     """Fully fused two-kernel bounce loop (sphere scenes only): Pallas
     intersection + Pallas shading, state kept transposed (10, N) across
     bounces so each bounce reads/writes it exactly once.
@@ -334,6 +335,9 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
     bg_colors = jnp.asarray(bg_colors, jnp.float32)
 
     rows = np_tot // sk.LANES
+    if (block_lists0 is not None
+            and block_lists0[0].shape[0] != np_tot // sk.RAY_BLOCK):
+        block_lists0 = None  # caller's layout isn't the tile grid
     state = jnp.concatenate(
         [org.T, d.T, org.T * 0.0 + 1.0,
          alive[None].astype(jnp.float32)]).reshape(10, rows, sk.LANES)
@@ -347,9 +351,13 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
 
     def bounce_step(state, rad_t, off_rows, bounce):
         """One intersect+shade bounce at whatever (static) size `state` has."""
+        # bounce 0 in tiled ray order: per-tile frustum-culled sphere lists
+        # (block layout only matches the tile grid before any compaction,
+        # and compact_at bounces are all > 0)
+        bl = block_lists0 if bounce == 0 else None
         at, idx = sk.intersect_state_pallas(
             tables, state, interpret=interpret,
-            origin_zero=(origin_zero and bounce == 0))
+            origin_zero=(origin_zero and bounce == 0), block_lists=bl)
         pk_rows = pack_t[:, idx]
         du, dv = 2 + 2 * bounce, 3 + 2 * bounce
         limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
@@ -485,6 +493,77 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
 TILE = 32  # pixels per side of an image tile in tiled ray order
 
 
+def tile_sphere_lists(camera, center, radius, valid, width, height,
+                      tile_rows=None):
+    """Frustum-cull the sphere set per 32x32 image tile (host numpy, f64).
+
+    Bounce-0 rays in tiled ray order give each 1024-ray kernel block exactly
+    one image tile, and every primary ray starts at the camera-space origin —
+    so a tile's rays all lie inside the cone hulled by its 4 corner
+    directions, and a per-tile potentially-visible-set is static for the
+    whole render. This is the TPU-block-granularity equivalent of the
+    reference BVH's per-ray descent (shape_tree.ml:198-220): the brute-force
+    kernel loop shrinks from the whole scene to the ~handful of spheres whose
+    cone test passes.
+
+    Returns (lists (tyn*txn, K) int32, counts (tyn*txn, 1) int32): ascending
+    global sphere indices per tile (ascending keeps the strict-< argmin's
+    tie-breaking identical to the brute-force kernel), counts padded to a
+    multiple of LIST_UNROLL with duplicated entries (a duplicate re-test can
+    never steal the strict-< min, so padding is exact, not approximate)."""
+    from .ops.pallas.sphere_kernel import LIST_UNROLL
+
+    center = np.asarray(center, np.float64)
+    radius = np.asarray(radius, np.float64)
+    valid = np.asarray(valid, bool)
+    # tile_rows > ceil(height/TILE) pads the grid for sharded bands whose
+    # last band overhangs the image bottom (dead tiles get real, unused
+    # cones — their blocks early-exit on alive anyway)
+    tyn = tile_rows if tile_rows is not None else -(-height // TILE)
+    txn = -(-width // TILE)
+    # corner directions (unnormalized: plane normals don't need unit dirs);
+    # corner pixel coords [x0, x0+TILE] x [y0, y0+TILE] cover every jittered
+    # sample (dx, dy in [0,1)) and the clamped coords of padded edge tiles
+    xs = np.arange(txn + 1) * TILE / width
+    ys = np.arange(tyn + 1) * TILE / height
+    cx = np.broadcast_to(xs[None, :], (tyn + 1, txn + 1))
+    cy = 1.0 - np.broadcast_to(ys[:, None], (tyn + 1, txn + 1))
+    dirs = np.stack([camera.lower_left_x + camera.view_x * cx,
+                     camera.lower_left_y + camera.view_y * cy,
+                     np.full_like(cx, -1.0)], axis=-1)  # (ty+1, tx+1, 3)
+    c00 = dirs[:-1, :-1].reshape(-1, 3)
+    c01 = dirs[:-1, 1:].reshape(-1, 3)
+    c10 = dirs[1:, :-1].reshape(-1, 3)
+    c11 = dirs[1:, 1:].reshape(-1, 3)
+    dc = c00 + c01 + c10 + c11  # interior direction for sign fixing
+    planes = []
+    for a, b in ((c00, c01), (c01, c11), (c11, c10), (c10, c00)):
+        nrm = np.cross(a, b)
+        nrm *= np.sign(np.sum(nrm * dc, axis=1, keepdims=True))
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-300)
+        planes.append(nrm)
+    planes = np.stack(planes, axis=1)  # (T, 4, 3)
+    # conservative margin: kernel directions are f32 while the cone is f64
+    r_eff = radius + 1e-4 * (1.0 + np.linalg.norm(center, axis=1))
+    dist = np.einsum("tpk,sk->tps", planes, center)  # (T, 4, S)
+    vis = (dist >= -r_eff[None, None, :]).all(axis=1) & valid[None, :]
+    counts = vis.sum(axis=1)
+    k_pad = max(int(-(-counts.max() // LIST_UNROLL)) * LIST_UNROLL,
+                LIST_UNROLL)
+    t_n = vis.shape[0]
+    lists = np.zeros((t_n, k_pad), np.int32)
+    counts_pad = np.zeros((t_n, 1), np.int32)
+    for t in range(t_n):
+        idx = np.nonzero(vis[t])[0]
+        c = len(idx)
+        cp = -(-c // LIST_UNROLL) * LIST_UNROLL if c else 0
+        lists[t, :c] = idx
+        if cp > c:
+            lists[t, c:cp] = idx[0]
+        counts_pad[t, 0] = cp
+    return lists, counts_pad
+
+
 def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                  spp: int, max_bounces: int, dtype=jnp.float32, intersect_fn=None,
                  dynamic_rows: bool = False, select_mode: str = "gather",
@@ -550,7 +629,15 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             x_cb = np.minimum(x_ord_b, width - 1)
 
             def band_pass_fn(scene: SphereScene, pass_idx, tile_row0,
-                             mesh_consts=None):
+                             mesh_consts=None, block_lists=None):
+                if block_lists is not None:
+                    # slice this band's tile rows out of the full-grid lists
+                    lists, counts = block_lists
+                    r0 = jnp.asarray(tile_row0, jnp.int32) * txn
+                    block_lists = (
+                        lax.dynamic_slice(lists, (r0, 0),
+                                          (bt * txn, lists.shape[1])),
+                        lax.dynamic_slice(counts, (r0, 0), (bt * txn, 1)))
                 pass_idx = jnp.asarray(pass_idx)
                 lead = pass_idx.shape
                 y_glob = (jnp.asarray(tile_row0, jnp.int32) * TILE
@@ -574,7 +661,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                                   background, intersect_fn, select_mode,
                                   backend, alive0=alive0, mesh=mesh,
                                   mesh_consts=mesh_consts,
-                                  origin_zero=True)
+                                  origin_zero=True,
+                                  block_lists0=block_lists)
                 rad = rad.reshape(lead + (bt * txn * TILE * TILE, 3))
                 if lead:
                     rad = jnp.sum(rad, axis=0)
@@ -586,7 +674,7 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             return band_pass_fn
 
         def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None,
-                          mesh_consts=None):
+                          mesh_consts=None, block_lists=None):
             pass_idx = jnp.asarray(pass_idx)
             lead = pass_idx.shape
             poff = (pass_idx.astype(jnp.uint32) * np.uint32(spp)).reshape(
@@ -603,7 +691,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                               max_bounces, background, intersect_fn,
                               select_mode, backend, alive0=alive0, mesh=mesh,
-                              mesh_consts=mesh_consts, origin_zero=True)
+                              mesh_consts=mesh_consts, origin_zero=True,
+                              block_lists0=block_lists)
             rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
             if lead:
                 rad = jnp.sum(rad, axis=0)
@@ -612,10 +701,12 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
         return tiled_pass_fn
 
     def pass_fn(scene: SphereScene, pass_idx, row_ids=None,
-                mesh_consts=None):
+                mesh_consts=None, block_lists=None):
         """pass_idx may be a scalar or a (pb,) vector of pass indices — a
         vector traces all those passes as one fused wavefront and returns
-        their summed radiance (better TPU utilization at small images)."""
+        their summed radiance (better TPU utilization at small images).
+        block_lists is accepted for signature parity with the tiled pass
+        and ignored (row-ordered blocks don't match the tile grid)."""
         if row_ids is None:
             row_ids = jnp.arange(height, dtype=jnp.int32)
         rows = row_ids.shape[0]
@@ -641,8 +732,8 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
         return rad, segs
 
     if not dynamic_rows:
-        return lambda scene, pass_idx, mesh_consts=None: pass_fn(
-            scene, pass_idx, None, mesh_consts)
+        return lambda scene, pass_idx, mesh_consts=None, block_lists=None: \
+            pass_fn(scene, pass_idx, None, mesh_consts)
     return pass_fn
 
 
@@ -695,13 +786,14 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
     steps = spp // pb // chains
 
     @jax.jit
-    def render_impl(scene: SphereScene, mesh_consts):
+    def render_impl(scene: SphereScene, mesh_consts, block_lists):
         def body(sums, p_mat):
             total = sums
             segs = jnp.zeros((), jnp.int32)
             for k in range(chains):
                 s, g = pass_fn(scene, p_mat[k] if pb > 1 else p_mat[k, 0],
-                               mesh_consts=mesh_consts)
+                               mesh_consts=mesh_consts,
+                               block_lists=block_lists)
                 total = total + s
                 segs = segs + g
             return total, segs
@@ -711,10 +803,27 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, jnp.sum(segs)
 
+    # tiled + sphere-only scenes: per-tile frustum-culled sphere lists let
+    # the bounce-0 intersection kernel loop over ~a handful of spheres per
+    # 32x32 tile instead of the whole scene (bounce 0 is ~40% of segments)
+    tiled_on = (backend != "xla" and jax.default_backend() == "tpu")
+    cull_ok = (tiled_on and mesh is None and intersect_fn is None
+               and (backend is None or str(backend).startswith("pallas2")))
+
     # mesh device arrays ride as jit ARGUMENTS (not closure constants,
     # which multiply XLA compile time — see MeshBVH.device_consts)
     consts = mesh.device_consts() if mesh is not None else None
-    return lambda scene: render_impl(scene, consts)
+
+    def run(scene):
+        bl = None
+        if cull_ok and scene.tri_count == 0:
+            lists, counts = tile_sphere_lists(
+                camera, np.asarray(scene.center), np.asarray(scene.radius),
+                np.asarray(scene.valid), width, height)
+            bl = (jnp.asarray(lists), jnp.asarray(counts))
+        return render_impl(scene, consts, bl)
+
+    return run
 
 
 def render_with_progress(camera, background, scene, width, height, spp,

@@ -7,10 +7,25 @@ pure-numpy implementations when no toolchain is available.
 from __future__ import annotations
 
 import ctypes
+import mmap
 import os
 import subprocess
 
 import numpy as np
+
+
+def alloc_big(shape, dtype=np.float32):
+    """Big writable array backed by a raw anonymous mmap instead of the
+    process allocator. Once jaxlib initializes, its bundled allocator takes
+    over malloc and madvises THP on large arenas — and 2 MB-page faults on
+    this kernel run ~80x slower than 4 KB ones (73 MB: 3.9 s vs 0.08 s
+    measured), which was silently taxing every big host-side table build.
+    Raw mmap sidesteps the arena, keeping first-touch faults fast."""
+    n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if n < (1 << 22):  # small arrays: the tax is negligible
+        return np.empty(shape, dtype)
+    buf = mmap.mmap(-1, n)
+    return np.frombuffer(buf, dtype).reshape(shape)
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB = None
@@ -121,7 +136,7 @@ def _bvh_wide_table_native(width, nodes_lo, nodes_hi, meta, axes, tri_a,
     rows = getattr(lib, f"bvh{width}_table_rows")(meta, m, stride)
     if width == 8 and rows * 8 >= 1 << 24:
         raise ValueError("mesh too large for 24-bit BVH8 entries")
-    table = np.empty((rows, 32), np.float32)
+    table = alloc_big((rows, 32), np.float32)
     getattr(lib, f"bvh{width}_table_fill")(
         np.ascontiguousarray(nodes_lo, np.float32),
         np.ascontiguousarray(nodes_hi, np.float32), meta, axes, m,

@@ -770,6 +770,11 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
 
     def walk_pass(table_j, org, d, state, cap):
         inv_d = 1.0 / d
+        # 2 walk steps per while iteration: the loop machinery (cond
+        # scalar-sync + body dispatch) dominates the per-step fixed cost
+        # on this device, and an extra body on an all-done state is the
+        # identity, so unrolling stays bit-exact (caps round up to even)
+        unroll = 2
 
         def cond(sk):
             state, k = sk
@@ -778,7 +783,9 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
 
         def body_k(sk):
             state, k = sk
-            return body(state), k + 1
+            for _ in range(unroll):
+                state = body(state)
+            return state, k + unroll
 
         def mt(rows, a_sl, e1_sl, e2_sl, idx_col, rows_i, t_best, u_best,
                v_best, i_best, is_tri):

@@ -383,11 +383,80 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres,
         idx_ref[:] = best_idx
 
 
+LIST_UNROLL = 8  # per-block sphere lists are padded to a multiple of this
+
+
+def _kernel_state_listed(sph_ref, list_ref, cnt_ref, st_ref, at_ref, idx_ref,
+                         *, origin_zero):
+    """Per-block-list variant of _kernel_state: each 1024-ray block (one
+    32x32 image tile at bounce 0 in tiled ray order) loops only over ITS
+    frustum-culled sphere list (SMEM, indices into the global table) instead
+    of the whole scene. The reference gets the same effect from its BVH's
+    near-child-first descent (shape_tree.ml:198-220); at TPU block
+    granularity a static per-tile potentially-visible-set is the coherent
+    equivalent. List entries are global sphere indices sorted ascending, so
+    argmin tie-breaking matches the brute-force kernel; padding duplicates
+    the first entry (a duplicate test can never steal the strict < min)."""
+    at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
+    idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+    any_alive = jnp.max(st_ref[9]) > 0.0
+    blk = pl.program_id(0)  # lists/counts ride whole in SMEM (a few KB):
+    # per-block (1, K) SMEM block specs don't lower on TPU (second-to-last
+    # block dim must divide 8), so the kernel row-indexes the full table
+
+    @pl.when(any_alive)
+    def _run():
+        o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
+        d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
+        if not origin_zero:
+            od = o0 * d0 + o1 * d1 + o2 * d2
+            oq = o0 * o0 + o1 * o1 + o2 * o2
+
+        def one(j, best_at, best_idx):
+            s = list_ref[blk, j]
+            cx = sph_ref[0, s]
+            cy = sph_ref[1, s]
+            cz = sph_ref[2, s]
+            a_s = sph_ref[3, s]
+            if origin_zero:
+                bp = cx * d0 + cy * d1 + cz * d2
+                g = a_s
+            else:
+                bp = cx * d0 + cy * d1 + cz * d2 - od
+                g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
+            disc = g + bp * bp
+            sq = jnp.sqrt(disc)  # NaN-miss: see _kernel_state
+            inside_pos = (g >= 0.0) & (bp >= 0.0)
+            at = bp + jnp.where(inside_pos, sq, -sq)
+            upd = (at < best_at) & (at >= 0.0)
+            best_at = jnp.where(upd, at, best_at)
+            best_idx = jnp.where(upd, s, best_idx)
+            return best_at, best_idx
+
+        def body(i, carry):
+            best_at, best_idx = carry
+            base = i * LIST_UNROLL
+            for k in range(LIST_UNROLL):
+                best_at, best_idx = one(base + k, best_at, best_idx)
+            return best_at, best_idx
+
+        init = (jnp.full(o0.shape, BIG, jnp.float32),
+                jnp.zeros(o0.shape, jnp.int32))
+        steps = cnt_ref[blk, 0] // LIST_UNROLL  # count padded to a multiple
+        best_at, best_idx = jax.lax.fori_loop(0, steps, body, init)
+        at_ref[:] = best_at
+        idx_ref[:] = best_idx
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "origin_zero"))
 def intersect_state_pallas(sph_table, state_rows, interpret=False,
-                           origin_zero=False):
+                           origin_zero=False, block_lists=None):
     """Nearest-hit over the (10, rows, LANES) wavefront state.
-    Returns (at (rows, LANES), idx (rows, LANES) int32)."""
+    Returns (at (rows, LANES), idx (rows, LANES) int32).
+
+    block_lists: optional (lists (n_blocks, K) int32, counts (n_blocks, 1)
+    int32) per-1024-ray-block sphere lists (frustum-culled PVS; counts are
+    padded to a multiple of LIST_UNROLL, lists padded by repeating entry 0)."""
     _, rows, lanes = state_rows.shape
     assert lanes == LANES and (rows * LANES) % RAY_BLOCK == 0
     n_spheres = sph_table.shape[1]
@@ -398,6 +467,22 @@ def intersect_state_pallas(sph_table, state_rows, interpret=False,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    if block_lists is not None:
+        lists, counts = block_lists
+        assert lists.shape[0] == grid and counts.shape == (grid, 1), (
+            lists.shape, counts.shape, grid)
+        return pl.pallas_call(
+            functools.partial(_kernel_state_listed, origin_zero=origin_zero),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      st_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                       jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+            interpret=interpret,
+        )(sph_table, lists, counts, state_rows)
     return pl.pallas_call(
         functools.partial(_kernel_state, n_spheres=n_spheres,
                           origin_zero=origin_zero),

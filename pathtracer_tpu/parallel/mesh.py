@@ -29,7 +29,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from .. import film
-from ..integrator import make_pass_fn
+from ..integrator import make_pass_fn, tile_sphere_lists
 
 __all__ = ["make_mesh", "make_sharded_render_fn"]
 
@@ -79,31 +79,56 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
         # check_vma=False: pallas_call's out_shapes don't carry vma
         # annotations, so the varying-across-mesh checker rejects any
         # kernel launch inside shard_map; the untiled path keeps the check
-        @partial(shard_map, mesh=mesh,
-                 in_specs=(P(), P("dp"), P("sp")),
-                 out_specs=(P("sp"), P()), check_vma=False)
-        def partial_sums(scene, passes, tile_row0):
-            def body(acc, p):
-                live = (p < spp).astype(dtype)
-                s, segs = pass_fn(scene, jnp.minimum(p, spp - 1),
-                                  tile_row0[0])
-                return acc + s * live, segs * (p < spp)
+        def make_partial_sums(with_lists):
+            in_specs = ((P(), P("dp"), P("sp"), P(), P()) if with_lists
+                        else (P(), P("dp"), P("sp")))
 
-            init = jnp.zeros((band * TILE, width, 3), dtype)
-            init = lax.pcast(init, ("dp", "sp"), to="varying")
-            sums, segs = lax.scan(body, init, passes)
-            sums = lax.psum(sums, "dp")
-            total = lax.psum(jnp.sum(segs), ("dp", "sp"))
-            return sums, total
+            @partial(shard_map, mesh=mesh, in_specs=in_specs,
+                     out_specs=(P("sp"), P()), check_vma=False)
+            def partial_sums(scene, passes, tile_row0, *bl):
+                block_lists = bl if bl else None
 
-        @jax.jit
-        def render(scene):
+                def body(acc, p):
+                    live = (p < spp).astype(dtype)
+                    s, segs = pass_fn(scene, jnp.minimum(p, spp - 1),
+                                      tile_row0[0], block_lists=block_lists)
+                    return acc + s * live, segs * (p < spp)
+
+                init = jnp.zeros((band * TILE, width, 3), dtype)
+                init = lax.pcast(init, ("dp", "sp"), to="varying")
+                sums, segs = lax.scan(body, init, passes)
+                sums = lax.psum(sums, "dp")
+                total = lax.psum(jnp.sum(segs), ("dp", "sp"))
+                return sums, total
+
+            return partial_sums
+
+        @partial(jax.jit, static_argnames=("with_lists",))
+        def render_impl(scene, bl, with_lists):
             passes = jnp.arange(spp_pad, dtype=jnp.int32)
             row0s = jnp.arange(sp, dtype=jnp.int32) * band
-            sums, segs = partial_sums(scene, passes, row0s)
+            sums, segs = make_partial_sums(with_lists)(
+                scene, passes, row0s, *(bl if with_lists else ()))
             sums = sums[:height]
             img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
             return img, segs
+
+        # per-tile frustum-culled bounce-0 sphere lists (see
+        # integrator.tile_sphere_lists); only meaningful when the fused
+        # pallas2 tier can run — other backends ignore them
+        cull_ok = (scene_mesh is None and intersect_fn is None
+                   and (backend is None
+                        or str(backend).startswith("pallas2")))
+
+        def render(scene):
+            bl = None
+            if cull_ok and scene.tri_count == 0:
+                lists, counts = tile_sphere_lists(
+                    camera, np.asarray(scene.center),
+                    np.asarray(scene.radius), np.asarray(scene.valid),
+                    width, height, tile_rows=band * sp)
+                bl = (jnp.asarray(lists), jnp.asarray(counts))
+            return render_impl(scene, bl, bl is not None)
 
         return render
 

@@ -138,6 +138,81 @@ def test_octant_walk_matches_skiplink():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_wide_walks_match_skiplink():
+    """The BVH4 and BVH8 re-entry walks (wide rows, phase-encoded
+    pointers, quantized boxes for BVH8) must agree with the skip-link
+    oracle on hit set, t, and winner index — including with t_max caps
+    and inactive lanes."""
+    verts, faces = _mesh(120, seed=11)
+    mat = np.zeros(12, np.float32)
+    m_skip = MeshBVH(verts, faces, mat, walk="skiplink")
+    rs = np.random.RandomState(2)
+    n = 700
+    org = rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    t_max = np.where(rs.rand(n) < 0.5, 3.0, 1e30).astype(np.float32)
+    active = rs.rand(n) > 0.25
+    o2 = m_skip.intersect(jnp.asarray(org), jnp.asarray(d),
+                          jnp.asarray(t_max), jnp.asarray(active),
+                          chunk=256)
+    for walk in ("bvh4", "bvh8"):
+        m_w = MeshBVH(verts, faces, mat, walk=walk)
+        o1 = m_w.intersect(jnp.asarray(org), jnp.asarray(d),
+                           jnp.asarray(t_max), jnp.asarray(active),
+                           chunk=256)
+        h1, h2 = np.asarray(o1[4]), np.asarray(o2[4])
+        np.testing.assert_array_equal(h1, h2, err_msg=walk)
+        np.testing.assert_allclose(np.asarray(o1[0])[h1],
+                                   np.asarray(o2[0])[h1],
+                                   rtol=1e-5, atol=1e-6, err_msg=walk)
+        np.testing.assert_array_equal(np.asarray(o1[3])[h1],
+                                      np.asarray(o2[3])[h1], err_msg=walk)
+
+
+def test_wide_table_builders_python_matches_native():
+    """C++ and python BVH4/BVH8 walk-table builders are byte-identical."""
+    from pathtracer_tpu.ops.bvh import (build_bvh, build_walk_table4,
+                                        build_walk_table8)
+
+    verts, faces = _mesh(150, seed=5)
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    lo = np.minimum(np.minimum(a, b), c)
+    hi = np.maximum(np.maximum(a, b), c)
+    nodes_lo, nodes_hi, meta, order, depth, axes = build_bvh(
+        lo, hi, want_axes=True)
+    aa, bb, cc = a[order], b[order], c[order]
+    for build in (build_walk_table4, build_walk_table8):
+        t_n = build(nodes_lo, nodes_hi, meta, axes, aa, bb - aa, cc - aa,
+                    native=True)
+        t_p = build(nodes_lo, nodes_hi, meta, axes, aa, bb - aa, cc - aa,
+                    native=False)
+        assert t_n[1:] == t_p[1:]
+        np.testing.assert_array_equal(t_n[0].view(np.uint32),
+                                      t_p[0].view(np.uint32))
+
+
+def test_bvh8_multipass_bit_exact():
+    """The BVH8 capped multi-pass walk is bit-exact vs one uncapped
+    pass (same invariant the octant walk guarantees)."""
+    verts, faces = _mesh(150, seed=5)
+    mat = np.zeros(12, np.float32)
+    m = MeshBVH(verts, faces, mat, walk="bvh8")
+    rs = np.random.RandomState(7)
+    n = 1111
+    org = rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    t_max = np.where(rs.rand(n) < 0.5, 3.0, 1e30).astype(np.float32)
+    active = rs.rand(n) > 0.25
+    a = m.intersect(jnp.asarray(org), jnp.asarray(d), jnp.asarray(t_max),
+                    jnp.asarray(active), chunk=128, caps=(6, 12, 0))
+    b = m.intersect(jnp.asarray(org), jnp.asarray(d), jnp.asarray(t_max),
+                    jnp.asarray(active), chunk=128, caps=(0,))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_flatten_octants_python_matches_native():
     from pathtracer_tpu.native import bvh_flatten_octants_native
     from pathtracer_tpu.ops.bvh import flatten_octants
