@@ -39,7 +39,8 @@ __all__ = ["trace", "make_pass_fn", "make_render_fn", "render_with_progress"]
 
 
 def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
-                     select_mode: str = "gather", mesh=None):
+                     select_mode: str = "gather", mesh=None,
+                     mesh_intersect=None):
     """Build hit_setup(org, d, alive) -> dict of per-lane hit attributes.
 
     Unifies sphere and triangle pools (the reference's Shape sum type,
@@ -116,8 +117,13 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         if has_mesh:
             t_cur = jnp.where(hit, jnp.where(use_tri, t_t, t_s) if has_tris
                               else t_s, spheres.BIG)
-            t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(
-                org, d, active=alive, table=mc.get("table"))
+            if mesh_intersect is not None:
+                # caller-supplied replacement walk (e.g. the tile-culled
+                # primary-ray kernel, ops/pallas/tile_tri_kernel.py)
+                t_m, u_m, v_m, idx_m, hit_m = mesh_intersect(org, d, alive)
+            else:
+                t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(
+                    org, d, active=alive, table=mc.get("table"))
             use_mesh = hit_m & (t_m < t_cur)
             use_tri = use_tri & ~use_mesh
             hit = hit | hit_m

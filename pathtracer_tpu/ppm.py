@@ -438,7 +438,7 @@ def make_eye_pass(camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
                   backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
                   mesh=None, band_rows: int = 64, use_kernel: bool = False,
-                  eff_bounces: int = None):
+                  eff_bounces: int = None, tile_static: dict = None):
     """Build eye_pass(offset_base, radius, grid+deposits, row0) -> one
     `band_rows`-row band of a PPM iteration's contribution (scaled by
     1/photon_count). The driver loops bands as SEPARATE device calls — one
@@ -449,9 +449,18 @@ def make_eye_pass(camera: Camera, width: int, height: int,
     specular materials every eye path terminates at its first hit (the
     walk only continues through Specular scatters, ppm.ml:330-343), so
     bounces past the first are provably dead lanes; the sampler keeps the
-    max_bounces dimension count so the sample stream is unchanged."""
+    max_bounces dimension count so the sample stream is unchanged.
+
+    tile_static: static maps for the tile-culled primary-ray mesh kernel
+    (ops/pallas/tile_tri_kernel.py): dict(src_lane, back, n_tiles,
+    interpret). Only valid when the eye scan is a single bounce — the tile
+    PVS holds for origin-zero primaries only; eye_pass then also takes
+    tile_consts = (table, chunk_src, chunk_tile, chunk_first)."""
     sampler = Sampler(2 + max_bounces)
     eff_bounces = max_bounces if eff_bounces is None else eff_bounces
+    if tile_static is not None:
+        assert eff_bounces == 1, "tile PVS only covers origin-zero primaries"
+        assert band_rows % 32 == 0, band_rows
     n_pix = width * band_rows
     lanes = -(-n_pix // 1024) * 1024
     lane_ids = np.arange(lanes)
@@ -481,11 +490,34 @@ def make_eye_pass(camera: Camera, width: int, height: int,
     if use_kernel:
         gather = gather_kernel
 
-    def eye_pass(offset_base, radius, grid, row0, mesh_consts, scene_t):
+    def eye_pass(offset_base, radius, grid, row0, mesh_consts, scene_t,
+                 tile_consts=None):
         # scene rides as a traced argument — closed-over device arrays
         # become MLIR constants whose materialization stalls lowering on
         # the tunneled TPU (see make_photon_pass)
-        hit_setup = make_intersector(scene_t, backend, mesh=mesh)
+        mesh_intersect = None
+        if tile_static is not None and tile_consts is not None:
+            from .ops.pallas import tile_tri_kernel as ttk
+
+            table_j, cs, ct, cf = tile_consts
+            src_lane = tile_static["src_lane"]
+            back_map = tile_static["back"]
+            n_tiles_band = tile_static["n_tiles"]
+
+            def mesh_intersect(org, d, alive_m):
+                # primaries all start at the origin, so org is unused; the
+                # per-tile culled lists replace the BVH walk entirely
+                d_rows = d[src_lane].T.reshape(
+                    3, (n_tiles_band + 1) * ttk.BLOCK_ROWS, ttk.LANES)
+                t_k, u_k, v_k, i_k = ttk.intersect_tile_tris_pallas(
+                    table_j, cs, ct, cf, d_rows, n_tiles_band,
+                    interpret=tile_static.get("interpret", False))
+                fl = lambda o: o.reshape(-1)[back_map]
+                t_k, u_k, v_k, i_k = fl(t_k), fl(u_k), fl(v_k), fl(i_k)
+                return t_k, u_k, v_k, i_k, (t_k < ttk.BIG) & alive_m
+
+        hit_setup = make_intersector(scene_t, backend, mesh=mesh,
+                                     mesh_intersect=mesh_intersect)
         # lane's global pixel = (row0 + lane//W) * W + lane%W
         pix = (row0.astype(jnp.uint32) * np.uint32(width)
                + jnp.asarray(lane_ids, jnp.uint32))
@@ -584,6 +616,8 @@ class PPMRenderer:
     mesh: object = None
     bbox_override: tuple = None
     devices: list = None  # eye-pass bands fan out across these (default: all)
+    tile_primary: bool = None  # tile-culled primary kernel (None = auto:
+    # on with the TPU kernel tier for one-bounce eye scans over a mesh)
 
     def __post_init__(self):
         if self.backend is None:
@@ -645,14 +679,51 @@ class PPMRenderer:
 
         grid_m = grid_m_for(self.photon_count)
 
+        # tile-culled primary kernel: replaces the mesh-BVH walk for the
+        # whole eye pass when the scan is one bounce (all-diffuse scenes);
+        # see ops/pallas/tile_tri_kernel.py
+        use_tile = self.tile_primary
+        if use_tile is None:
+            use_tile = use_kernel
+        use_tile = bool(use_tile and self.mesh is not None
+                        and eff_bounces == 1)
+        tile_cache = {}
+
+        def get_tile(band_rows):
+            """(static maps, device table, per-band chunk maps) or None."""
+            if not use_tile or band_rows % 32 != 0:
+                return None
+            if band_rows not in tile_cache:
+                from .ops.pallas import tile_tri_kernel as ttk
+                tt = ttk.build_tile_tri_table(
+                    self.camera, np.asarray(self.mesh.tri_a),
+                    np.asarray(self.mesh.tri_e1),
+                    np.asarray(self.mesh.tri_e2), self.width, self.height)
+                bands, n_tiles = ttk.band_chunk_maps(tt, band_rows)
+                src_lane, back = ttk.lane_maps(self.width, band_rows,
+                                               tt.tx_n)
+                static = dict(src_lane=src_lane, back=back, n_tiles=n_tiles,
+                              interpret=jax.default_backend() != "tpu")
+                table_j = jnp.asarray(tt.table)
+                # force the bulk upload to complete before first use (lazy
+                # uploads through the TPU tunnel stall the first execution;
+                # see MeshBVH's table note)
+                jax.block_until_ready(table_j)
+                float(table_j[0, 0])
+                bands_j = [tuple(jnp.asarray(x) for x in b) for b in bands]
+                tile_cache[band_rows] = (static, table_j, bands_j)
+            return tile_cache[band_rows]
+
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
+                tile = get_tile(band_rows)
                 eye_passes[band_rows] = jax.jit(make_eye_pass(
                     self.camera, self.width, self.height,
                     self.max_bounces, self.photon_count, dep_lanes,
                     self.backend, grid_m=grid_m, mesh=self.mesh,
                     band_rows=band_rows, use_kernel=use_kernel,
-                    eff_bounces=eff_bounces))
+                    eff_bounces=eff_bounces,
+                    tile_static=tile[0] if tile else None))
             return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
@@ -739,6 +810,12 @@ class PPMRenderer:
                 else:
                     consts_dev = [mesh_consts]
                     scene_dev = [self.scene]
+            tile = get_tile(band_rows)
+            if tile is not None and len(devices) > 1:
+                tkey = (band_rows, "tables_dev")
+                if tkey not in tile_cache:  # big table: broadcast once
+                    tile_cache[tkey] = [jax.device_put(tile[1], dv)
+                                        for dv in devices]
             futures = []
             for bi in range(n_bands):
                 dev = bi % len(grids)
@@ -746,11 +823,17 @@ class PPMRenderer:
                     put = lambda x: jax.device_put(x, devices[dev])
                 else:
                     put = lambda x: x
-                futures.append(eye_fn(
+                args = [
                     put(jnp.uint32(i * self.width * self.height)),
                     put(jnp.float32(r)), grids[dev],
                     put(jnp.int32(bi * band_rows)),
-                    consts_dev[dev], scene_dev[dev]))
+                    consts_dev[dev], scene_dev[dev]]
+                if tile is not None:
+                    tbl = (tile_cache[(band_rows, "tables_dev")][dev]
+                           if len(grids) > 1 else tile[1])
+                    args.append((tbl,)
+                                + tuple(put(x) for x in tile[2][bi]))
+                futures.append(eye_fn(*args))
             img = np.concatenate([np.asarray(b, np.float64)
                                   for b in futures])[:self.height]
             img_sum += img[::-1]  # reference writes row (height-1-y)
