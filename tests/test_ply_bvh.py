@@ -276,3 +276,96 @@ def test_multipass_walk_bit_exact_vs_single_pass():
                     jnp.asarray(active), chunk=128, caps=(0,))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _check_bvh_valid(lo, hi, nodes_lo, nodes_hi, meta, order, depth):
+    """Structural invariants every SAH build must satisfy (C++ or python;
+    they may legitimately differ bitwise on bin ties — std::partition vs
+    stable masking — so parity is checked at this level plus the live A/B
+    walk oracles, not byte-by-byte)."""
+    n = len(lo)
+    m = len(meta)
+    # `order` is a permutation of the primitives
+    assert sorted(order.tolist()) == list(range(n))
+    first, count, skip = meta[:, 0], meta[:, 1], meta[:, 2]
+    leaves = count > 0
+    # leaves tile `order` contiguously in DFS emission order
+    leaf_first = first[leaves]
+    leaf_count = count[leaves]
+    assert leaf_first[0] == 0
+    np.testing.assert_array_equal(
+        leaf_first[1:], (leaf_first + leaf_count)[:-1])
+    assert leaf_first[-1] + leaf_count[-1] == n
+    # every node's box contains the union of its primitives' boxes
+    starts = np.zeros(m, np.int64)
+    ends = np.zeros(m, np.int64)
+    # subtree prim range: DFS order means node i covers order rows
+    # [subtree_first, subtree_end) where leaves inside [i, skip) tile it
+    for i in range(m):
+        if leaves[i]:
+            starts[i], ends[i] = first[i], first[i] + count[i]
+        else:
+            sub = leaves[i:skip[i]]
+            lf = first[i:skip[i]][sub]
+            lc = count[i:skip[i]][sub]
+            starts[i], ends[i] = lf.min(), (lf + lc).max()
+    for i in range(m):
+        prims = order[starts[i]:ends[i]]
+        np.testing.assert_allclose(nodes_lo[i], lo[prims].min(0), rtol=0,
+                                   atol=0)
+        np.testing.assert_allclose(nodes_hi[i], hi[prims].max(0), rtol=0,
+                                   atol=0)
+    # skip links: leaf skip = i+1; inner skip = just past the subtree
+    np.testing.assert_array_equal(skip[leaves],
+                                  np.nonzero(leaves)[0] + 1)
+    assert depth >= 1 and depth <= max(2 * int(np.ceil(np.log2(max(n, 2))))
+                                       + 32, 8)
+
+
+def test_sah_build_native_valid_and_deterministic():
+    """The C++ SAH builder (incl. the threaded ParBuilder path) must be
+    run-to-run deterministic and structurally valid; exact-output parity
+    with the python builder is NOT required (documented bin-tie
+    divergence) — the A/B walk oracles pin behavioral equivalence."""
+    from pathtracer_tpu.native import bvh_build_native
+
+    rs = np.random.RandomState(11)
+    for n, cutoff in ((500, 4), (5000, 8)):
+        c = rs.uniform(-10, 10, (n, 3)).astype(np.float32)
+        e = rs.uniform(0.01, 0.5, (n, 3)).astype(np.float32)
+        lo, hi = c - e, c + e
+        # a degenerate clump exercises the median-split fallback
+        lo[: n // 50] = lo[0]
+        hi[: n // 50] = hi[0]
+        nat = bvh_build_native(lo, hi, cutoff, 32, 1.0, 0.25)
+        assert nat is not None, "native builder unavailable"
+        nodes_lo, nodes_hi, meta, order, depth = nat
+        _check_bvh_valid(lo, hi, nodes_lo, nodes_hi, meta, order, depth)
+        again = bvh_build_native(lo, hi, cutoff, 32, 1.0, 0.25)
+        for a, b in zip(nat, again):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the python builder satisfies the same invariants
+        py = build_bvh(lo, hi, length_cutoff=cutoff, native=False)
+        _check_bvh_valid(lo, hi, np.asarray(py[0]), np.asarray(py[1]),
+                         np.asarray(py[2]), np.asarray(py[3]), py[4])
+
+
+def test_sah_build_native_parallel_path_deterministic():
+    """Above the 65536-prim threshold the builder takes the threaded
+    ParBuilder path; it must still be deterministic and valid."""
+    from pathtracer_tpu.native import bvh_build_native
+
+    rs = np.random.RandomState(7)
+    n = 70000
+    c = rs.uniform(-50, 50, (n, 3)).astype(np.float32)
+    e = rs.uniform(0.01, 0.3, (n, 3)).astype(np.float32)
+    lo, hi = c - e, c + e
+    nat = bvh_build_native(lo, hi, 8, 32, 1.0, 0.25)
+    assert nat is not None, "native builder unavailable"
+    nodes_lo, nodes_hi, meta, order, depth = nat
+    n_leaf_prims = meta[meta[:, 1] > 0, 1].sum()
+    assert n_leaf_prims == n
+    assert sorted(order.tolist()) == list(range(n))
+    again = bvh_build_native(lo, hi, 8, 32, 1.0, 0.25)
+    for a, b in zip(nat, again):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
