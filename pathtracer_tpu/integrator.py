@@ -279,16 +279,20 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     return rad, segments
 
 
-def _env_compact_at():
-    try:
-        return tuple(int(x) for x in
-                     os.environ.get("PATHTRACER_COMPACT_AT", "2,4").split(",")
-                     if x.strip())
-    except ValueError:  # malformed knob must not break imports
-        return (2, 4)
-
-
-DEFAULT_COMPACT_AT = _env_compact_at()
+def _default_compact_at(max_bounces):
+    """Measured compaction schedule (tools/sweep_knobs.py on the v5e chip,
+    post tile-PVS balance): shallow configs want a single compaction at
+    bounce 3 (canonical spp=32/b=8: 68.05 vs 63.54 at (2,) and 59-61 at
+    (2,4)); deep configs keep (2,4) so the late <2%-live tail re-selects
+    into the small bucket (HQ spp=512/b=16: 67.75 with (2,4)). Env knob
+    PATHTRACER_COMPACT_AT overrides both."""
+    env = os.environ.get("PATHTRACER_COMPACT_AT")
+    if env is not None:
+        try:
+            return tuple(int(x) for x in env.split(",") if x.strip())
+        except ValueError:  # malformed knob must not break renders
+            pass
+    return (3,) if max_bounces <= 8 else (2, 4)
 
 
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
@@ -313,7 +317,7 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
     from .ops.pallas import shade_kernel as shk
 
     if compact_at is None:
-        compact_at = DEFAULT_COMPACT_AT
+        compact_at = _default_compact_at(max_bounces)
     compact_at = frozenset(b for b in compact_at if 0 < b < max_bounces)
 
     n = org.shape[0]
