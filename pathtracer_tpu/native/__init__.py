@@ -102,13 +102,16 @@ def bvh_build_native(prim_lo, prim_hi, length_cutoff=8, num_bins=32,
     hi = np.ascontiguousarray(prim_hi, np.float32)
     n = len(lo)
     cap = max(2 * n, 4)
-    nodes_lo = np.empty((cap, 3), np.float32)
-    nodes_hi = np.empty((cap, 3), np.float32)
-    meta = np.empty((cap, 3), np.int32)
-    order = np.empty(n, np.int32)
+    # alloc_big: mmap-backed buffers dodge the THP first-touch tax the
+    # jaxlib allocator imposes on fresh multi-MB arenas (~1 s across
+    # these outputs at 449k prims)
+    nodes_lo = alloc_big((cap, 3), np.float32)
+    nodes_hi = alloc_big((cap, 3), np.float32)
+    meta = alloc_big((cap, 3), np.int32)
+    order = alloc_big((n,), np.int32) if n else np.empty(0, np.int32)
     depth = np.zeros(1, np.int32)
     if want_axes:
-        axes = np.empty(cap, np.int32)
+        axes = alloc_big((cap,), np.int32)
         m = lib.bvh_build2(lo, hi, n, length_cutoff, num_bins,
                            np.float32(cost_i), np.float32(cost_t),
                            nodes_lo, nodes_hi, meta, order, depth, axes)

@@ -1139,13 +1139,20 @@ class MeshBVH:
         a, b, c = a[order], b[order], c[order]
         e1 = b - a
         e2 = c - a
-        self.mat_row = jnp.asarray(np.asarray(mat_row, np.float32))
+        # host numpy: the host-side consumers (tile culling, material
+        # sniffing) read these without a device round-trip; device copies
+        # are created once in device_consts()
+        self.mat_row = np.asarray(mat_row, np.float32)
         self.bbox_lo = nodes_lo[0].copy()
         self.bbox_hi = nodes_hi[0].copy()
-        self.tri_a = jnp.asarray(a)
-        self.tri_e1 = jnp.asarray(e1)
-        self.tri_e2 = jnp.asarray(e2)
+        self.tri_a = np.ascontiguousarray(a)
+        self.tri_e1 = np.ascontiguousarray(e1)
+        self.tri_e2 = np.ascontiguousarray(e2)
+        self._device_tris = None
         self.table_j = None
+        self._table_np = None
+        self._intersect = None
+        self._walk_args = None
         if walk == "bvh8":
             try:
                 table, node_end, stride = build_walk_table8(
@@ -1154,43 +1161,59 @@ class MeshBVH:
                 walk = "bvh4"
             else:
                 self.node_end, self.stride = node_end, stride
-                self.table_j = jnp.asarray(table)
-                jax.block_until_ready(self.table_j)  # see octant note
-                float(self.table_j[0, 0])
-                self.intersect = make_mesh_traverser_bvh8(
-                    self.table_j, node_end, stride, nodes_lo[0],
-                    nodes_hi[0])
+                self._table_np = table
+                self._walk_args = ("bvh8", node_end, stride,
+                                   nodes_lo[0], nodes_hi[0])
                 walk = "done"
         if walk == "bvh4":
             table, node_end, stride = build_walk_table4(
                 nodes_lo, nodes_hi, meta, axes, a, e1, e2)
             self.node_end, self.stride = node_end, stride
-            self.table_j = jnp.asarray(table)
-            jax.block_until_ready(self.table_j)  # see octant note below
-            float(self.table_j[0, 0])
-            self.intersect = make_mesh_traverser_bvh4(
-                self.table_j, node_end, stride, nodes_lo[0], nodes_hi[0])
+            self._table_np = table
+            self._walk_args = ("bvh4", node_end, stride,
+                               nodes_lo[0], nodes_hi[0])
         elif walk == "octant":
             # unified-table ordered walk (one gather per step)
             table, node_end, m = build_walk_table(nodes_lo, nodes_hi, meta,
                                                   axes, a, e1, e2)
             self.node_end, self.m_nodes = node_end, m
-            self.table_j = jnp.asarray(table)
-            # Force the host->device upload to COMPLETE here, before any
-            # program consumes the table: letting the lazy upload overlap
-            # the first big execution costs ~400 s through the TPU tunnel
-            # (measured, tools/proto_ppm_phases.py) vs ~4 s as an explicit
-            # bulk transfer. The scalar pull also warms the device->host
-            # path for later result reads.
-            jax.block_until_ready(self.table_j)
-            float(self.table_j[0, 0])
-            # pass the device array: jnp.asarray is then a no-op, so the
-            # table exists on device exactly once
-            self.intersect = make_mesh_traverser_octant(
-                self.table_j, node_end, m, nodes_lo[0], nodes_hi[0])
+            self._table_np = table
+            self._walk_args = ("octant", node_end, m,
+                               nodes_lo[0], nodes_hi[0])
         elif walk != "done":  # "skiplink": round-1 fixed-DFS A/B oracle
-            self.intersect = make_mesh_traverser(
+            self._intersect = make_mesh_traverser(
                 nodes_lo, nodes_hi, meta, a, e1, e2, self.max_leaf)
+
+    def _ensure_device(self):
+        """Upload the walk table and build the traverser, once, on first
+        use. Deferred out of the constructor so scene builds that never
+        render (-stop-after-bvh; the reference's build-time print,
+        ganesha/bin/main.ml:188-198) skip the tunnel upload (~2.4 s) AND
+        the first-d2h warmup lottery entirely.
+
+        The upload is forced to COMPLETE here, before any program consumes
+        the table: letting the lazy upload overlap the first big execution
+        costs ~400 s through the TPU tunnel (measured,
+        tools/proto_ppm_phases.py) vs ~4 s as an explicit bulk transfer.
+        The scalar pull also warms the device->host path for later result
+        reads."""
+        if self._intersect is not None or self._walk_args is None:
+            return
+        kind, p1, p2, root_lo, root_hi = self._walk_args
+        self.table_j = jnp.asarray(self._table_np)
+        jax.block_until_ready(self.table_j)
+        float(self.table_j[0, 0])
+        # pass the device array: jnp.asarray inside the traverser is then
+        # a no-op, so the table exists on device exactly once
+        maker = {"bvh8": make_mesh_traverser_bvh8,
+                 "bvh4": make_mesh_traverser_bvh4,
+                 "octant": make_mesh_traverser_octant}[kind]
+        self._intersect = maker(self.table_j, p1, p2, root_lo, root_hi)
+
+    @property
+    def intersect(self):
+        self._ensure_device()
+        return self._intersect
 
     def device_consts(self):
         """The mesh's large device arrays as a pytree, for threading through
@@ -1198,8 +1221,13 @@ class MeshBVH:
         in the HLO as constants and XLA compile time explodes on them
         (~160 s for a 22 MB table, tools/proto_const_compile.py); passing
         the same arrays as jit arguments avoids that entirely."""
-        consts = dict(tri_a=self.tri_a, tri_e1=self.tri_e1,
-                      tri_e2=self.tri_e2, mat_row=self.mat_row)
+        self._ensure_device()
+        if self._device_tris is None:
+            self._device_tris = dict(tri_a=jnp.asarray(self.tri_a),
+                                     tri_e1=jnp.asarray(self.tri_e1),
+                                     tri_e2=jnp.asarray(self.tri_e2),
+                                     mat_row=jnp.asarray(self.mat_row))
+        consts = dict(self._device_tris)
         if self.table_j is not None:
             consts["table"] = self.table_j
         return consts
