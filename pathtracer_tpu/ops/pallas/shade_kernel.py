@@ -33,10 +33,17 @@ _PI_INV = np.float32(1.0 / np.pi)
 
 
 def _atan_poly(z):
-    """Minimax atan on |z| <= 1 (~2e-7 rad)."""
+    """Minimax atan on |z| <= 1, max RELATIVE error 1.4e-7 (f32 Horner,
+    validated against f64 over 2e6 points). Relative — not absolute —
+    accuracy is what matters here: uv = atan2/2pi feeds checker-texture
+    parity on the huge ground sphere, where the old poly's 2.3e-5
+    relative error flipped ~0.04% of diffuse samples across a boundary
+    and dominated the fused-path RMSE surcharge (1.39e-3 of the 1.48e-3
+    at 160x80 spp=8, isolated by an exact-transcendental A/B)."""
     t = z * z
-    p = np.float32(-0.0117212)
-    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347, 0.99997726):
+    p = np.float32(-0.0016994898)
+    for c in (0.010494779, -0.030393856, 0.057162132, -0.083558545,
+              0.10935136, -0.14260697, 0.19998156, -0.3333328, 1.0):
         p = p * t + np.float32(c)
     return z * p
 
@@ -55,8 +62,10 @@ def _atan2(y, x):
 
 
 def _acos(x):
-    """acos via atan2(sqrt(1-x^2), x)."""
-    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    """acos via atan2(sqrt(1-x^2), x). (1-x)*(1+x) instead of 1-x*x:
+    both factors are exact near |x|=1 (Sterbenz), avoiding the
+    cancellation that costs ~half the f32 digits at the poles."""
+    s = jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0))
     return _atan2(s, x)
 
 
