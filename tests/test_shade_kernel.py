@@ -11,18 +11,30 @@ from pathtracer_tpu.ops.lds import Sampler
 
 def test_atan2_poly_accuracy():
     rs = np.random.RandomState(0)
-    y = jnp.asarray(rs.uniform(-2, 2, 4096).astype(np.float32))
-    x = jnp.asarray(rs.uniform(-2, 2, 4096).astype(np.float32))
+    y = jnp.asarray(rs.uniform(-2, 2, 65536).astype(np.float32))
+    x = jnp.asarray(rs.uniform(-2, 2, 65536).astype(np.float32))
     got = np.asarray(shk._atan2(y, x))
-    want = np.arctan2(np.asarray(y), np.asarray(x))
-    assert np.abs(got - want).max() < 3e-6
+    want = np.arctan2(np.asarray(y, np.float64), np.asarray(x, np.float64))
+    assert np.abs(got - want).max() < 5e-7
+
+
+def test_atan2_poly_relative_accuracy():
+    """RELATIVE accuracy is the load-bearing property: uv = atan2/2pi
+    feeds checker parity on the huge ground sphere, where a 2.3e-5
+    relative error (the old polynomial) flips ~0.04% of diffuse samples
+    across a texel boundary and dominated the fused-path RMSE."""
+    z = np.linspace(1e-9, 1.0, 200001).astype(np.float32)
+    got = np.asarray(shk._atan2(jnp.asarray(z), jnp.ones_like(jnp.asarray(z))))
+    want = np.arctan(np.asarray(z, np.float64))
+    rel = np.abs(got - want) / want
+    assert rel.max() < 4e-7
 
 
 def test_acos_poly_accuracy():
-    x = jnp.asarray(np.linspace(-1, 1, 4001).astype(np.float32))
+    x = jnp.asarray(np.linspace(-1, 1, 400001).astype(np.float32))
     got = np.asarray(shk._acos(x))
     want = np.arccos(np.asarray(x, np.float64))
-    assert np.abs(got - want).max() < 3e-6
+    assert np.abs(got - want).max() < 5e-7
 
 
 def test_kernel_lds_matches_sampler():
