@@ -531,28 +531,11 @@ def tile_sphere_lists(camera, center, radius, valid, width, height,
     # cones — their blocks early-exit on alive anyway)
     tyn = tile_rows if tile_rows is not None else -(-height // TILE)
     txn = -(-width // TILE)
-    # corner directions (unnormalized: plane normals don't need unit dirs);
-    # corner pixel coords [x0, x0+TILE] x [y0, y0+TILE] cover every jittered
-    # sample (dx, dy in [0,1)) and the clamped coords of padded edge tiles
-    xs = np.arange(txn + 1) * TILE / width
-    ys = np.arange(tyn + 1) * TILE / height
-    cx = np.broadcast_to(xs[None, :], (tyn + 1, txn + 1))
-    cy = 1.0 - np.broadcast_to(ys[:, None], (tyn + 1, txn + 1))
-    dirs = np.stack([camera.lower_left_x + camera.view_x * cx,
-                     camera.lower_left_y + camera.view_y * cy,
-                     np.full_like(cx, -1.0)], axis=-1)  # (ty+1, tx+1, 3)
-    c00 = dirs[:-1, :-1].reshape(-1, 3)
-    c01 = dirs[:-1, 1:].reshape(-1, 3)
-    c10 = dirs[1:, :-1].reshape(-1, 3)
-    c11 = dirs[1:, 1:].reshape(-1, 3)
-    dc = c00 + c01 + c10 + c11  # interior direction for sign fixing
-    planes = []
-    for a, b in ((c00, c01), (c01, c11), (c11, c10), (c10, c00)):
-        nrm = np.cross(a, b)
-        nrm *= np.sign(np.sum(nrm * dc, axis=1, keepdims=True))
-        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-300)
-        planes.append(nrm)
-    planes = np.stack(planes, axis=1)  # (T, 4, 3)
+    # flip_y=True: the path tracer's film map is cy = 1 - y/H (the PPM eye
+    # pass uses the unflipped convention; see ops/frustum.py)
+    from .ops.frustum import tile_frustum_planes
+    planes = tile_frustum_planes(camera, width, height, txn, tyn,
+                                 flip_y=True, tile=TILE)  # (T, 4, 3)
     # conservative margin: kernel directions are f32 while the cone is f64
     r_eff = radius + 1e-4 * (1.0 + np.linalg.norm(center, axis=1))
     dist = np.einsum("tpk,sk->tps", planes, center)  # (T, 4, S)

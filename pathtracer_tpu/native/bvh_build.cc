@@ -570,6 +570,82 @@ int bvh_build2(const float* prim_lo, const float* prim_hi, int n,
 
 namespace {
 
+// Post-order sizing over a collapsed (4- or 8-wide) view of the binary
+// tree — ONE definition shared by the BVH4/BVH8 rows & fill passes so the
+// sizing rule cannot desynchronize between them (rows vs fill disagreement
+// corrupts the table layout). size[ci] = row count of ci's collapsed
+// subtree; optionally also the total tri-pair row count and each leaf's
+// first pair row (canonical leaf order — matches the python builders).
+typedef int (*CollapseFn)(const int32_t*, int, int*);
+
+static void collapse_sizes(const int32_t* meta, int m, CollapseFn collapse,
+                           std::vector<int64_t>& size, int64_t* n_pairs_out,
+                           std::vector<int64_t>* pair_first) {
+  size.assign(m, 0);
+  std::vector<std::pair<int32_t, bool>> stack;
+  stack.push_back({0, false});
+  int64_t n_pairs = 0;
+  while (!stack.empty()) {
+    auto [ci, ready] = stack.back();
+    stack.pop_back();
+    if (meta[3 * ci + 1] > 0) {
+      size[ci] = 0;  // leaves are entered directly, no guard row
+      n_pairs += (meta[3 * ci + 1] + 1) / 2;
+      continue;
+    }
+    int els[8];
+    int k = collapse(meta, ci, els);
+    if (ready) {
+      int64_t s = 1;
+      for (int i = 0; i < k; ++i) s += size[els[i]];
+      size[ci] = s;
+    } else {
+      stack.push_back({ci, true});
+      for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
+    }
+  }
+  if (n_pairs_out) *n_pairs_out = n_pairs;
+  if (pair_first) {
+    pair_first->assign(m, 0);
+    int64_t pr = 0;  // leaves in canonical order (matches python builder)
+    for (int ci = 0; ci < m; ++ci)
+      if (meta[3 * ci + 1] > 0) {
+        (*pair_first)[ci] = pr;
+        pr += (meta[3 * ci + 1] + 1) / 2;
+      }
+  }
+}
+
+// tri-pair rows: identical layout in the BVH4 and BVH8 tables
+// (zero-filled: det==0 pad tris never hit; row[10] = last-pair flag)
+static void fill_tri_pair_rows(float* table, int64_t node_end, int64_t rows,
+                               const int32_t* meta, int m, const float* tri_a,
+                               const float* tri_e1, const float* tri_e2,
+                               const std::vector<int64_t>& pair_first) {
+  std::memset(table + 32 * node_end, 0, (size_t)(rows - node_end) * 128);
+  for (int ci = 0; ci < m; ++ci) {
+    int n = meta[3 * ci + 1];
+    if (n <= 0) continue;
+    int fidx = meta[3 * ci];
+    int64_t p0 = node_end + pair_first[ci];
+    for (int j = 0; j < n; j += 2) {
+      float* row = table + 32 * (p0 + j / 2);
+      int32_t* rowi = (int32_t*)row;
+      std::memcpy(row, tri_a + 3 * (fidx + j), 12);
+      std::memcpy(row + 3, tri_e1 + 3 * (fidx + j), 12);
+      std::memcpy(row + 6, tri_e2 + 3 * (fidx + j), 12);
+      rowi[9] = fidx + j;
+      if (j + 1 < n) {
+        std::memcpy(row + 12, tri_a + 3 * (fidx + j + 1), 12);
+        std::memcpy(row + 15, tri_e1 + 3 * (fidx + j + 1), 12);
+        std::memcpy(row + 18, tri_e2 + 3 * (fidx + j + 1), 12);
+        rowi[21] = fidx + j + 1;
+      }
+      row[10] = (j + 2 >= n) ? 1.0f : 0.0f;
+    }
+  }
+}
+
 // elements of the collapsed node: binary child if leaf, else its children
 static inline int collapse4(const int32_t* meta, int ci, int els[4]) {
   int l = ci + 1;
@@ -677,30 +753,9 @@ int64_t bvh4_table_rows(const int32_t* meta, int m, int32_t* stride_out) {
     stride_out[0] = 1;
     return 8 + 1;
   }
-  std::vector<int64_t> size4(m, 0);
-  // iterative post-order
-  std::vector<std::pair<int32_t, bool>> stack;
-  stack.push_back({0, false});
+  std::vector<int64_t> size4;
   int64_t n_pairs = 0;
-  while (!stack.empty()) {
-    auto [ci, ready] = stack.back();
-    stack.pop_back();
-    if (meta[3 * ci + 1] > 0) {
-      size4[ci] = 0;  // leaves are entered directly, no guard row
-      n_pairs += (meta[3 * ci + 1] + 1) / 2;
-      continue;
-    }
-    int els[4], k;
-    k = collapse4(meta, ci, els);
-    if (ready) {
-      int64_t s = 1;
-      for (int i = 0; i < k; ++i) s += size4[els[i]];
-      size4[ci] = s;
-    } else {
-      stack.push_back({ci, true});
-      for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
-    }
-  }
+  collapse_sizes(meta, m, collapse4, size4, &n_pairs, nullptr);
   int64_t stride = std::max<int64_t>(size4[0], 1);
   stride_out[0] = (int32_t)stride;
   return 8 * stride + n_pairs + 1;
@@ -719,35 +774,8 @@ void bvh4_table_fill(const float* nodes_lo, const float* nodes_hi,
     return;
   }
   // recompute size4 + pair_first (cheap vs the fill)
-  std::vector<int64_t> size4(m, 0), pair_first(m, 0);
-  {
-    std::vector<std::pair<int32_t, bool>> stack;
-    stack.push_back({0, false});
-    while (!stack.empty()) {
-      auto [ci, ready] = stack.back();
-      stack.pop_back();
-      if (meta[3 * ci + 1] > 0) {
-        size4[ci] = 0;  // leaves are entered directly, no guard row
-        continue;
-      }
-      int els[4], k;
-      k = collapse4(meta, ci, els);
-      if (ready) {
-        int64_t s = 1;
-        for (int i = 0; i < k; ++i) s += size4[els[i]];
-        size4[ci] = s;
-      } else {
-        stack.push_back({ci, true});
-        for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
-      }
-    }
-    int64_t pr = 0;  // leaves in canonical order (matches python builder)
-    for (int ci = 0; ci < m; ++ci)
-      if (meta[3 * ci + 1] > 0) {
-        pair_first[ci] = pr;
-        pr += (meta[3 * ci + 1] + 1) / 2;
-      }
-  }
+  std::vector<int64_t> size4, pair_first;
+  collapse_sizes(meta, m, collapse4, size4, nullptr, &pair_first);
 
   Oct4Filler f{nodes_lo, nodes_hi, meta,   axes,   size4.data(),
                pair_first.data(), node_end, done,  tri_a,
@@ -757,29 +785,8 @@ void bvh4_table_fill(const float* nodes_lo, const float* nodes_hi,
     ts.emplace_back([&f, o, stride]() { f.fill(o, stride); });
   for (auto& t : ts) t.join();
 
-  // tri-pair rows (zero-filled: det==0 pad tris never hit)
-  std::memset(table + 32 * node_end, 0, (size_t)(rows - node_end) * 128);
-  for (int ci = 0; ci < m; ++ci) {
-    int n = meta[3 * ci + 1];
-    if (n <= 0) continue;
-    int fidx = meta[3 * ci];
-    int64_t p0 = node_end + pair_first[ci];
-    for (int j = 0; j < n; j += 2) {
-      float* row = table + 32 * (p0 + j / 2);
-      int32_t* rowi = (int32_t*)row;
-      std::memcpy(row, tri_a + 3 * (fidx + j), 12);
-      std::memcpy(row + 3, tri_e1 + 3 * (fidx + j), 12);
-      std::memcpy(row + 6, tri_e2 + 3 * (fidx + j), 12);
-      rowi[9] = fidx + j;
-      if (j + 1 < n) {
-        std::memcpy(row + 12, tri_a + 3 * (fidx + j + 1), 12);
-        std::memcpy(row + 15, tri_e1 + 3 * (fidx + j + 1), 12);
-        std::memcpy(row + 18, tri_e2 + 3 * (fidx + j + 1), 12);
-        rowi[21] = fidx + j + 1;
-      }
-      row[10] = (j + 2 >= n) ? 1.0f : 0.0f;
-    }
-  }
+  fill_tri_pair_rows(table, node_end, rows, meta, m, tri_a, tri_e1, tri_e2,
+                     pair_first);
 }
 
 // ---- BVH8 re-entry walk table (ops/bvh.py build_walk_table8: layout &
@@ -958,29 +965,9 @@ int64_t bvh8_table_rows(const int32_t* meta, int m, int32_t* stride_out) {
     stride_out[0] = 1;
     return 8 + 1;
   }
-  std::vector<int64_t> size8(m, 0);
-  std::vector<std::pair<int32_t, bool>> stack;
-  stack.push_back({0, false});
+  std::vector<int64_t> size8;
   int64_t n_pairs = 0;
-  while (!stack.empty()) {
-    auto [ci, ready] = stack.back();
-    stack.pop_back();
-    if (meta[3 * ci + 1] > 0) {
-      size8[ci] = 0;
-      n_pairs += (meta[3 * ci + 1] + 1) / 2;
-      continue;
-    }
-    int els[8], k;
-    k = collapse8(meta, ci, els);
-    if (ready) {
-      int64_t s = 1;
-      for (int i = 0; i < k; ++i) s += size8[els[i]];
-      size8[ci] = s;
-    } else {
-      stack.push_back({ci, true});
-      for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
-    }
-  }
+  collapse_sizes(meta, m, collapse8, size8, &n_pairs, nullptr);
   int64_t stride = std::max<int64_t>(size8[0], 1);
   stride_out[0] = (int32_t)stride;
   return 8 * stride + n_pairs + 1;
@@ -998,35 +985,8 @@ void bvh8_table_fill(const float* nodes_lo, const float* nodes_hi,
     std::memset(table, 0, (size_t)rows * 128);
     return;
   }
-  std::vector<int64_t> size8(m, 0), pair_first(m, 0);
-  {
-    std::vector<std::pair<int32_t, bool>> stack;
-    stack.push_back({0, false});
-    while (!stack.empty()) {
-      auto [ci, ready] = stack.back();
-      stack.pop_back();
-      if (meta[3 * ci + 1] > 0) {
-        size8[ci] = 0;
-        continue;
-      }
-      int els[8], k;
-      k = collapse8(meta, ci, els);
-      if (ready) {
-        int64_t s = 1;
-        for (int i = 0; i < k; ++i) s += size8[els[i]];
-        size8[ci] = s;
-      } else {
-        stack.push_back({ci, true});
-        for (int i = 0; i < k; ++i) stack.push_back({els[i], false});
-      }
-    }
-    int64_t pr = 0;
-    for (int ci = 0; ci < m; ++ci)
-      if (meta[3 * ci + 1] > 0) {
-        pair_first[ci] = pr;
-        pr += (meta[3 * ci + 1] + 1) / 2;
-      }
-  }
+  std::vector<int64_t> size8, pair_first;
+  collapse_sizes(meta, m, collapse8, size8, nullptr, &pair_first);
 
   Oct8Filler f{nodes_lo, nodes_hi, meta,   axes,   size8.data(),
                pair_first.data(), node_end, done,  tri_a,
@@ -1036,29 +996,8 @@ void bvh8_table_fill(const float* nodes_lo, const float* nodes_hi,
     ts.emplace_back([&f, o, stride]() { f.fill(o, stride); });
   for (auto& t : ts) t.join();
 
-  // tri-pair rows: same layout as the BVH4 table
-  std::memset(table + 32 * node_end, 0, (size_t)(rows - node_end) * 128);
-  for (int ci = 0; ci < m; ++ci) {
-    int n = meta[3 * ci + 1];
-    if (n <= 0) continue;
-    int fidx = meta[3 * ci];
-    int64_t p0 = node_end + pair_first[ci];
-    for (int j = 0; j < n; j += 2) {
-      float* row = table + 32 * (p0 + j / 2);
-      int32_t* rowi = (int32_t*)row;
-      std::memcpy(row, tri_a + 3 * (fidx + j), 12);
-      std::memcpy(row + 3, tri_e1 + 3 * (fidx + j), 12);
-      std::memcpy(row + 6, tri_e2 + 3 * (fidx + j), 12);
-      rowi[9] = fidx + j;
-      if (j + 1 < n) {
-        std::memcpy(row + 12, tri_a + 3 * (fidx + j + 1), 12);
-        std::memcpy(row + 15, tri_e1 + 3 * (fidx + j + 1), 12);
-        std::memcpy(row + 18, tri_e2 + 3 * (fidx + j + 1), 12);
-        rowi[21] = fidx + j + 1;
-      }
-      row[10] = (j + 2 >= n) ? 1.0f : 0.0f;
-    }
-  }
+  fill_tri_pair_rows(table, node_end, rows, meta, m, tri_a, tri_e1, tri_e2,
+                     pair_first);
 }
 
 // Emit the 8 octant-ordered flattenings of a canonical skip-link tree.

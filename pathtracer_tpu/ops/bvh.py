@@ -677,6 +677,36 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
     return key
 
 
+_MT_EPS = np.float32(1e-6)
+
+
+def _mt_update(org, d, rows, rows_i, a_sl, e1_sl, e2_sl, idx_col, best,
+               is_tri):
+    """Moller-Trumbore against a triangle stored in walk-table row columns,
+    returning the updated (t, u, v, idx) best tuple where `is_tri` lanes
+    accept. ONE definition shared by the octant/BVH4/BVH8 walkers so the
+    epsilon and acceptance predicate (match ops/triangles.py;
+    triangle.ml:74-98) cannot silently diverge between them."""
+    t_best, u_best, v_best, i_best = best
+    a = rows[:, a_sl]
+    e1 = rows[:, e1_sl]
+    e2 = rows[:, e2_sl]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_inv = 1.0 / det
+    tvec = org - a
+    uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
+    qvec = jnp.cross(tvec, e1)
+    vv = det_inv * jnp.sum(d * qvec, axis=-1)
+    tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
+    ok = (is_tri & (jnp.abs(det) >= _MT_EPS) & (uu >= 0.0)
+          & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+          & (tt >= 0.0) & (tt <= t_best))
+    return (jnp.where(ok, tt, t_best), jnp.where(ok, uu, u_best),
+            jnp.where(ok, vv, v_best),
+            jnp.where(ok, rows_i[:, idx_col], i_best))
+
+
 def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
                          done, default_caps=(64, 0)):
     """The chunked + coherence-sorted + capped-multi-pass walk driver,
@@ -756,7 +786,6 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
     rows_total = table_np.shape[0]
     done = 8 * (rows_total - 1)
     node_end8 = 8 * node_end
-    eps = np.float32(1e-6)
     key_fn = _coherence_key_fn(root_lo, root_hi)
 
     def init_state(d, t_max0, active):
@@ -786,26 +815,6 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
             for _ in range(unroll):
                 state = body(state)
             return state, k + unroll
-
-        def mt(rows, a_sl, e1_sl, e2_sl, idx_col, rows_i, t_best, u_best,
-               v_best, i_best, is_tri):
-            a = rows[:, a_sl]
-            e1 = rows[:, e1_sl]
-            e2 = rows[:, e2_sl]
-            pvec = jnp.cross(d, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)
-            det_inv = 1.0 / det
-            tvec = org - a
-            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
-            qvec = jnp.cross(tvec, e1)
-            vv = det_inv * jnp.sum(d * qvec, axis=-1)
-            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
-            ok = (is_tri & (jnp.abs(det) >= eps) & (uu >= 0.0)
-                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt >= 0.0) & (tt <= t_best))
-            return (jnp.where(ok, tt, t_best), jnp.where(ok, uu, u_best),
-                    jnp.where(ok, vv, v_best),
-                    jnp.where(ok, rows_i[:, idx_col], i_best))
 
         def body(state):
             ptr, lret, t_best, u_best, v_best, i_best = state
@@ -869,12 +878,12 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
 
             # tri-pair interpretation: tri0 then tri1 vs updated t_best
             is_tri = ~is_node
-            t_best, u_best, v_best, i_best = mt(
-                rows, slice(0, 3), slice(3, 6), slice(6, 9), 9, rows_i,
-                t_best, u_best, v_best, i_best, is_tri)
-            t_best, u_best, v_best, i_best = mt(
-                rows, slice(12, 15), slice(15, 18), slice(18, 21), 21,
-                rows_i, t_best, u_best, v_best, i_best, is_tri)
+            best = (t_best, u_best, v_best, i_best)
+            best = _mt_update(org, d, rows, rows_i, slice(0, 3),
+                              slice(3, 6), slice(6, 9), 9, best, is_tri)
+            t_best, u_best, v_best, i_best = _mt_update(
+                org, d, rows, rows_i, slice(12, 15), slice(15, 18),
+                slice(18, 21), 21, best, is_tri)
 
             nxt_tri = jnp.where(rows[:, 10] > 0.5, lret, ptr + 8)
             nxt = jnp.where(is_node, nxt_node, nxt_tri)
@@ -901,7 +910,6 @@ def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
     rows_total = table_np.shape[0]
     done = 4 * (rows_total - 1)  # phase-encoded absorbing pointer
     node_end4 = 4 * node_end
-    eps = np.float32(1e-6)
     key_fn = _coherence_key_fn(root_lo, root_hi)
 
     def init_state(d, t_max0, active):
@@ -924,26 +932,6 @@ def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
         def body_k(sk):
             state, k = sk
             return body(state), k + 1
-
-        def mt(rows, a_sl, e1_sl, e2_sl, idx_col, rows_i, t_best, u_best,
-               v_best, i_best, is_tri):
-            a = rows[:, a_sl]
-            e1 = rows[:, e1_sl]
-            e2 = rows[:, e2_sl]
-            pvec = jnp.cross(d, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)
-            det_inv = 1.0 / det
-            tvec = org - a
-            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
-            qvec = jnp.cross(tvec, e1)
-            vv = det_inv * jnp.sum(d * qvec, axis=-1)
-            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
-            ok = (is_tri & (jnp.abs(det) >= eps) & (uu >= 0.0)
-                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt >= 0.0) & (tt <= t_best))
-            return (jnp.where(ok, tt, t_best), jnp.where(ok, uu, u_best),
-                    jnp.where(ok, vv, v_best),
-                    jnp.where(ok, rows_i[:, idx_col], i_best))
 
         def body(state):
             ptr, lret, t_best, u_best, v_best, i_best = state
@@ -975,12 +963,12 @@ def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
 
             # tri-pair interpretation: tri0 then tri1 vs updated t_best
             is_tri = ~is_node
-            t_best, u_best, v_best, i_best = mt(
-                rows, slice(0, 3), slice(3, 6), slice(6, 9), 9, rows_i,
-                t_best, u_best, v_best, i_best, is_tri)
-            t_best, u_best, v_best, i_best = mt(
-                rows, slice(12, 15), slice(15, 18), slice(18, 21), 21,
-                rows_i, t_best, u_best, v_best, i_best, is_tri)
+            best = (t_best, u_best, v_best, i_best)
+            best = _mt_update(org, d, rows, rows_i, slice(0, 3),
+                              slice(3, 6), slice(6, 9), 9, best, is_tri)
+            t_best, u_best, v_best, i_best = _mt_update(
+                org, d, rows, rows_i, slice(12, 15), slice(15, 18),
+                slice(18, 21), 21, best, is_tri)
 
             nxt_tri = jnp.where(rows[:, 10] > 0.5, lret, ptr + 4)
             nxt = jnp.where(is_node, nxt_node, nxt_tri)
@@ -1019,7 +1007,6 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
     table_default = jnp.asarray(table_np)
     rows_total = table_np.shape[0]
     done = rows_total - 1
-    eps = np.float32(1e-6)
     key_fn = _coherence_key_fn(root_lo, root_hi)
 
     def init_state(d, t_max0, active):
@@ -1066,22 +1053,9 @@ def make_mesh_traverser_octant(table_np, node_end, m_nodes, root_lo,
             is_leaf = enter >= node_end
 
             # triangle interpretation (Moller-Trumbore, triangle.ml:74-98)
-            e2 = rows[:, 6:9]
-            pvec = jnp.cross(d, e2)
-            det = jnp.sum(rows[:, 3:6] * pvec, axis=-1)
-            det_inv = 1.0 / det
-            tvec = org - rows[:, 0:3]
-            uu = det_inv * jnp.sum(tvec * pvec, axis=-1)
-            qvec = jnp.cross(tvec, rows[:, 3:6])
-            vv = det_inv * jnp.sum(d * qvec, axis=-1)
-            tt = det_inv * jnp.sum(e2 * qvec, axis=-1)
-            ok = (~is_node & (jnp.abs(det) >= eps) & (uu >= 0.0)
-                  & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt >= 0.0) & (tt <= t_best))
-            t_best = jnp.where(ok, tt, t_best)
-            u_best = jnp.where(ok, uu, u_best)
-            v_best = jnp.where(ok, vv, v_best)
-            i_best = jnp.where(ok, rows_i[:, 9], i_best)
+            t_best, u_best, v_best, i_best = _mt_update(
+                org, d, rows, rows_i, slice(0, 3), slice(3, 6), slice(6, 9),
+                9, (t_best, u_best, v_best, i_best), ~is_node)
 
             nxt_tri = jnp.where(rows[:, 10] > 0.5, lret, ptr + 1)
             nxt = jnp.where(is_node,
@@ -1149,7 +1123,7 @@ class MeshBVH:
         self.tri_e1 = np.ascontiguousarray(e1)
         self.tri_e2 = np.ascontiguousarray(e2)
         self._device_tris = None
-        self.table_j = None
+        self._table_j = None
         self._table_np = None
         self._intersect = None
         self._walk_args = None
@@ -1200,15 +1174,22 @@ class MeshBVH:
         if self._intersect is not None or self._walk_args is None:
             return
         kind, p1, p2, root_lo, root_hi = self._walk_args
-        self.table_j = jnp.asarray(self._table_np)
-        jax.block_until_ready(self.table_j)
-        float(self.table_j[0, 0])
+        self._table_j = jnp.asarray(self._table_np)
+        jax.block_until_ready(self._table_j)
+        float(self._table_j[0, 0])
         # pass the device array: jnp.asarray inside the traverser is then
         # a no-op, so the table exists on device exactly once
         maker = {"bvh8": make_mesh_traverser_bvh8,
                  "bvh4": make_mesh_traverser_bvh4,
                  "octant": make_mesh_traverser_octant}[kind]
-        self._intersect = maker(self.table_j, p1, p2, root_lo, root_hi)
+        self._intersect = maker(self._table_j, p1, p2, root_lo, root_hi)
+
+    @property
+    def table_j(self):
+        """The device walk table (uploaded on first access; None for the
+        skiplink oracle walk, which closes over its arrays instead)."""
+        self._ensure_device()
+        return self._table_j
 
     @property
     def intersect(self):

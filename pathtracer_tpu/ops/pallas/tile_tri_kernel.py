@@ -169,34 +169,13 @@ class TileTriTable:
 
 
 def _tile_planes(camera, width, height, tx_n, ty_n):
-    """(T, 5, 3) f64 inward-pointing plane normals per tile: 4 frustum side
-    planes through the origin + the z<=0 camera-facing halfspace. Film
-    convention matches the PPM eye pass: cx = x/W, cy = y/H, NO y flip
-    (ppm.ml:311-315 flips at write time instead)."""
-    xs = np.arange(tx_n + 1) * (TILE / width)
-    ys = np.arange(ty_n + 1) * (TILE / height)
-    cx = np.broadcast_to(xs[None, :], (ty_n + 1, tx_n + 1))
-    cy = np.broadcast_to(ys[:, None], (ty_n + 1, tx_n + 1))
-    # corner dirs from the camera's affine film map (normalization at
-    # runtime rescales rays positively and cannot change the cone)
-    dirs = np.stack([camera.lower_left_x + camera.view_x * cx,
-                     camera.lower_left_y + camera.view_y * cy,
-                     np.full(cx.shape, -1.0)], axis=-1)
-    c00 = dirs[:-1, :-1].reshape(-1, 3)
-    c01 = dirs[:-1, 1:].reshape(-1, 3)
-    c10 = dirs[1:, :-1].reshape(-1, 3)
-    c11 = dirs[1:, 1:].reshape(-1, 3)
-    center = c00 + c01 + c10 + c11
-    planes = []
-    for a, b in ((c00, c01), (c01, c11), (c11, c10), (c10, c00)):
-        nrm = np.cross(a, b)
-        nrm *= np.sign(np.sum(nrm * center, axis=1, keepdims=True))
-        n_len = np.linalg.norm(nrm, axis=1, keepdims=True)
-        planes.append(nrm / np.maximum(n_len, 1e-300))
-    t_n = c00.shape[0]
-    z_plane = np.broadcast_to(np.array([0.0, 0.0, -1.0]), (t_n, 3))
-    planes.append(z_plane)
-    return np.stack(planes, axis=1)
+    """(T, 5, 3) plane normals per tile, film convention of the PPM eye
+    pass: cy = y/H, NO y flip (ppm.ml:311-315 flips at write time instead —
+    the path tracer's PVS passes flip_y=True; see ops/frustum.py)."""
+    from ..frustum import tile_frustum_planes
+
+    return tile_frustum_planes(camera, width, height, tx_n, ty_n,
+                               flip_y=False, with_z_plane=True, tile=TILE)
 
 
 def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,

@@ -66,6 +66,12 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
         tiled = (backend not in (None, "xla")
                  or jax.default_backend() == "tpu")
     kern2d = film.binomial_kernel_2d(filter_order, filter_radius)
+    # mesh device arrays ride through shard_map as REPLICATED ARGUMENTS —
+    # same rule as make_render_fn: closed-over device arrays become HLO
+    # constants (compile-time explosion), and the numpy fallbacks inside
+    # make_intersector cannot be indexed by traced ids (see
+    # MeshBVH.device_consts)
+    mesh_consts = scene_mesh.device_consts() if scene_mesh is not None else {}
 
     if tiled:
         from ..integrator import TILE
@@ -80,18 +86,19 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
         # annotations, so the varying-across-mesh checker rejects any
         # kernel launch inside shard_map; the untiled path keeps the check
         def make_partial_sums(with_lists):
-            in_specs = ((P(), P("dp"), P("sp"), P(), P()) if with_lists
-                        else (P(), P("dp"), P("sp")))
+            in_specs = ((P(), P(), P("dp"), P("sp"), P(), P()) if with_lists
+                        else (P(), P(), P("dp"), P("sp")))
 
             @partial(shard_map, mesh=mesh, in_specs=in_specs,
                      out_specs=(P("sp"), P()), check_vma=False)
-            def partial_sums(scene, passes, tile_row0, *bl):
+            def partial_sums(scene, mc, passes, tile_row0, *bl):
                 block_lists = bl if bl else None
 
                 def body(acc, p):
                     live = (p < spp).astype(dtype)
                     s, segs = pass_fn(scene, jnp.minimum(p, spp - 1),
-                                      tile_row0[0], block_lists=block_lists)
+                                      tile_row0[0], mesh_consts=mc or None,
+                                      block_lists=block_lists)
                     return acc + s * live, segs * (p < spp)
 
                 init = jnp.zeros((band * TILE, width, 3), dtype)
@@ -104,11 +111,11 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
             return partial_sums
 
         @partial(jax.jit, static_argnames=("with_lists",))
-        def render_impl(scene, bl, with_lists):
+        def render_impl(scene, mc, bl, with_lists):
             passes = jnp.arange(spp_pad, dtype=jnp.int32)
             row0s = jnp.arange(sp, dtype=jnp.int32) * band
             sums, segs = make_partial_sums(with_lists)(
-                scene, passes, row0s, *(bl if with_lists else ()))
+                scene, mc, passes, row0s, *(bl if with_lists else ()))
             sums = sums[:height]
             img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
             return img, segs
@@ -128,7 +135,7 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
                     np.asarray(scene.radius), np.asarray(scene.valid),
                     width, height, tile_rows=band * sp)
                 bl = (jnp.asarray(lists), jnp.asarray(counts))
-            return render_impl(scene, bl, bl is not None)
+            return render_impl(scene, mesh_consts, bl, bl is not None)
 
         return render
 
@@ -137,13 +144,18 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
                            dtype, intersect_fn, dynamic_rows=True,
                            backend=backend, mesh=scene_mesh)
 
+    # check_vma off when a mesh walk runs inside: the walk's while_loop
+    # carry mixes replicated (table-derived) and varying (ray-derived)
+    # components, which the varying-across-mesh checker rejects even
+    # though the computation is per-lane pure
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P("dp"), P("sp")),
-             out_specs=(P("sp"), P()))
-    def partial_sums(scene, passes, row_ids):
+             in_specs=(P(), P(), P("dp"), P("sp")),
+             out_specs=(P("sp"), P()), check_vma=scene_mesh is None)
+    def partial_sums(scene, mc, passes, row_ids):
         def body(acc, p):
             live = (p < spp).astype(dtype)
-            s, segs = pass_fn(scene, jnp.minimum(p, spp - 1), row_ids)
+            s, segs = pass_fn(scene, jnp.minimum(p, spp - 1), row_ids,
+                              mesh_consts=mc or None)
             return acc + s * live, segs * (p < spp)
 
         rows = row_ids.shape[0]
@@ -159,7 +171,7 @@ def make_sharded_render_fn(camera, background, width, height, spp, max_bounces,
     def render(scene):
         passes = jnp.arange(spp_pad, dtype=jnp.int32)
         row_ids = jnp.minimum(jnp.arange(h_pad, dtype=jnp.int32), height - 1)
-        sums, segs = partial_sums(scene, passes, row_ids)
+        sums, segs = partial_sums(scene, mesh_consts, passes, row_ids)
         sums = sums[:height]
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, segs

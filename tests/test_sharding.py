@@ -116,3 +116,73 @@ def test_ppm_multi_device_matches_single():
     b = PPMRenderer(scene, cam, lights, 96, 96,
                     devices=jax.devices(), **kw).render()
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_mesh_scene_matches_single_device():
+    """A triangle-mesh scene (the ganesha pattern) rendered through
+    make_sharded_render_fn(scene_mesh=...): the mesh walk table and
+    triangle arrays must ride the shard_map boundary as replicated
+    ARGUMENTS (MeshBVH.device_consts), not numpy fallbacks — indexing the
+    host arrays with traced ids crashes, and closing over the device
+    table re-embeds it as an HLO constant."""
+    from pathtracer_tpu.ops.bvh import MeshBVH
+    from pathtracer_tpu.scene import LAMBERTIAN
+
+    cam, scene, bg = _setup()
+    rs = np.random.RandomState(5)
+    verts = rs.uniform(-2, 2, (40, 3)).astype(np.float32)
+    faces = rs.randint(0, 40, (60, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    mat_row = np.zeros(12, np.float32)
+    mat_row[0] = LAMBERTIAN
+    mat_row[2:5] = (0.3, 0.5, 0.2)
+    mat_row[10] = 1.5
+    mat_row[11] = 1.0 / 1.5
+    mesh_bvh = MeshBVH(verts, faces, mat_row, walk="octant")
+
+    W, H, SPP, B = 32, 16, 4, 3
+    want, want_segs = make_render_fn(cam, bg, W, H, SPP, B,
+                                     mesh=mesh_bvh)(scene)
+
+    for dp, sp in [(2, 2), (1, 4)]:
+        render = make_sharded_render_fn(cam, bg, W, H, SPP, B,
+                                        make_mesh(dp, sp),
+                                        scene_mesh=mesh_bvh)
+        got, segs = render(scene)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=f"dp={dp} sp={sp}")
+        assert int(segs) == int(want_segs), (dp, sp)
+
+
+def test_sharded_tiled_mesh_scene_matches_single_device():
+    """The TILED sharded path with a scene_mesh: pallas2 falls back to the
+    composite Pallas tier (interpret on CPU) with the mesh walk running
+    inside shard_map — the layout real multi-chip ganesha renders take."""
+    from pathtracer_tpu.ops.bvh import MeshBVH
+    from pathtracer_tpu.scene import LAMBERTIAN
+
+    cam, scene, bg = _setup()
+    rs = np.random.RandomState(9)
+    verts = rs.uniform(-2, 2, (30, 3)).astype(np.float32)
+    faces = rs.randint(0, 30, (40, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    mat_row = np.zeros(12, np.float32)
+    mat_row[0] = LAMBERTIAN
+    mat_row[2:5] = (0.6, 0.3, 0.2)
+    mat_row[10] = 1.5
+    mat_row[11] = 1.0 / 1.5
+    mesh_bvh = MeshBVH(verts, faces, mat_row, walk="bvh8")
+
+    W, H, SPP, B = 64, 32, 2, 3
+
+    def build(dp, sp):
+        return make_sharded_render_fn(
+            cam, bg, W, H, SPP, B, make_mesh(dp, sp),
+            backend="pallas2_interpret", tiled=True, scene_mesh=mesh_bvh)
+
+    want, want_segs = build(1, 1)(scene)
+    got, segs = build(2, 2)(scene)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert int(segs) == int(want_segs)
