@@ -21,6 +21,7 @@ PPM regression can never hide the headline metric.
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -28,7 +29,31 @@ import jax
 import jax.numpy as jnp
 
 
+def _wait_for_device(attempts=5, probe_timeout=180, retry_sleep=45):
+    """Device-availability watchdog: jax backend init through the TPU
+    tunnel HANGS (not errors) while the tunnel is down, and the first
+    jax.devices() in THIS process is uninterruptible — so probe in a
+    killable subprocess and only proceed once a probe succeeds. Converts
+    an infinite bench hang into a bounded, loud failure."""
+    for attempt in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if p.returncode == 0:
+                return
+            msg = f"probe exited {p.returncode}"
+        except subprocess.TimeoutExpired:
+            msg = f"probe hung >{probe_timeout}s (tunnel down?)"
+        print(f"# device probe {attempt + 1}/{attempts}: {msg}",
+              file=sys.stderr)
+        time.sleep(retry_sleep)
+    print("# no usable jax device; bench aborted", file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
+    _wait_for_device()
     for attempt in range(3):
         try:
             _run()

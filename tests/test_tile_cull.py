@@ -96,3 +96,44 @@ def test_tile_lists_cover_all_primary_hits():
             hit &= at >= 0
             for s in np.nonzero(hit.any(axis=0))[0]:
                 assert int(s) in has, (ty, tx, int(s))
+
+
+def test_tile_frustum_planes_contain_their_rays():
+    """Direct oracle for the shared plane builder (ops/frustum.py): every
+    jittered ray direction of a tile must be inside that tile's cone (all
+    plane dots >= 0, both film conventions), and most tiles must EXCLUDE
+    the far-corner tile's rays (the cull has actual power)."""
+    from pathtracer_tpu.ops.frustum import tile_frustum_planes
+
+    cam, _, _ = _shirley_like()
+    W, H = 96, 64
+    txn, tyn = -(-W // TILE), -(-H // TILE)
+    rs = np.random.RandomState(0)
+    for flip in (True, False):
+        planes = tile_frustum_planes(cam, W, H, txn, tyn, flip_y=flip,
+                                     with_z_plane=True)
+        assert planes.shape == (tyn * txn, 5, 3)
+        for ty in range(tyn):
+            for tx in range(txn):
+                t = ty * txn + tx
+                # 64 jittered sample dirs inside the tile
+                px = tx * TILE + rs.uniform(0, TILE, 64)
+                py = ty * TILE + rs.uniform(0, TILE, 64)
+                cx = px / W
+                cy = (1.0 - py / H) if flip else py / H
+                dirs = np.stack([cam.lower_left_x + cam.view_x * cx,
+                                 cam.lower_left_y + cam.view_y * cy,
+                                 np.full(64, -1.0)], axis=-1)
+                dots = np.einsum("pk,nk->pn", planes[t], dirs)
+                assert (dots >= -1e-12).all(), (flip, ty, tx)
+        # power: tile (0,0)'s cone must reject the opposite corner's rays
+        far = (tyn - 1) * txn + (txn - 1)
+        cx = ((txn - 1) * TILE + rs.uniform(0, TILE, 64)) / W
+        py = (tyn - 1) * TILE + rs.uniform(0, TILE, 64)
+        cy = (1.0 - py / H) if flip else py / H
+        dirs = np.stack([cam.lower_left_x + cam.view_x * cx,
+                         cam.lower_left_y + cam.view_y * cy,
+                         np.full(64, -1.0)], axis=-1)
+        dots = np.einsum("pk,nk->pn", planes[0], dirs)
+        assert (dots < 0).any(axis=0).all(), flip
+        assert far != 0
