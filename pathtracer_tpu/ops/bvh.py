@@ -1109,6 +1109,11 @@ class MeshBVH:
         self.depth = depth
         self.n_tris = len(faces)
         self.meta_np = meta
+        # host copies of the node boxes: the tile-cull table build walks
+        # the tree on host (native.tile_cull_native) instead of brute-
+        # forcing every tri against every tile cone
+        self.nodes_lo = nodes_lo
+        self.nodes_hi = nodes_hi
         self.max_leaf = int(meta[:, 1].max()) if len(meta) else 0
         a, b, c = a[order], b[order], c[order]
         e1 = b - a

@@ -179,17 +179,26 @@ def _tile_planes(camera, width, height, tx_n, ty_n):
 
 
 def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
-                         width: int, height: int) -> TileTriTable:
+                         width: int, height: int, bvh=None) -> TileTriTable:
     """Conservative cull of every triangle's AABB against every 32x32 tile
     frustum (p-vertex vs inward halfspace), then gather the survivors into
     the flat chunk table. Indices stay ascending per tile so the kernel's
     strict-< running min reproduces the brute-force argmin.
 
-    The whole cull is ONE f32 sgemm: [hi | lo | margin] (n, 7) times
-    [relu(n); min(n, 0); 1] (7, T*5) — dots >= 0 is the p-vertex test with
-    the per-triangle margin folded in as a constant-1 gemm column. (An f64
-    two-gemm formulation ran at reference-BLAS speed on this container's
-    OpenBLAS — 165x slower than sgemm, 331 s for the 449k-tri shell.)"""
+    bvh (a MeshBVH over the SAME reordered tri arrays): cull via one
+    stackless tree descent per tile in C++ (native.tile_cull_native) —
+    a node failing a cone plane skips its whole subtree, so cost scales
+    with survivors instead of n*T. The result is a conservative SUPERSET
+    of the brute path's accepts (node slack + 1.2x leaf margins), which
+    cannot change the kernel's strict-< argmin; leaf ranges are DFS-
+    ordered so per-tile indices stay ascending.
+
+    Fallback (no bvh / no toolchain): the whole cull is ONE f32 sgemm:
+    [hi | lo | margin] (n, 7) times [relu(n); min(n, 0); 1] (7, T*5) —
+    dots >= 0 is the p-vertex test with the per-triangle margin folded in
+    as a constant-1 gemm column. (An f64 two-gemm formulation ran at
+    reference-BLAS speed on this container's OpenBLAS — 165x slower than
+    sgemm, 331 s for the 449k-tri shell.)"""
     tri_a = np.asarray(tri_a, np.float32)
     tri_e1 = np.asarray(tri_e1, np.float32)
     tri_e2 = np.asarray(tri_e2, np.float32)
@@ -207,30 +216,37 @@ def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
     ty_n = -(-height // TILE)
     planes = _tile_planes(camera, width, height, tx_n, ty_n)  # (T,5,3)
     t_n = planes.shape[0]
-    nmat = planes.reshape(t_n * 5, 3).T  # (3, T*5)
-    hl = np.concatenate([hi, lo, margin[:, None]], axis=1)  # (n, 7)
-    nm = np.concatenate([np.maximum(nmat, 0.0), np.minimum(nmat, 0.0),
-                         np.ones((1, t_n * 5))], axis=0).astype(np.float32)
 
     from ...native import alloc_big
 
     n = len(tri_a)
-    # big buffers via the raw-mmap allocator and reused across chunks:
-    # jaxlib's THP-madvised arenas make first-touch faults on fresh
-    # hundreds-of-MB numpy outputs ~80x slower (measured 30-40 s per gemm
-    # on this container vs 0.26 s warm)
-    keep = alloc_big((t_n, n), bool)  # tile-major: per-tile rows contiguous
-    step = 65536
-    dots = alloc_big((step, t_n * 5), np.float32)
-    sb = alloc_big((step, t_n * 5), bool)
-    for s in range(0, n, step):
-        e = min(n, s + step)
-        m = e - s
-        # p-vertex test: box meets {n.x >= 0} iff hi.max(n,0)+lo.min(n,0) >= 0
-        np.matmul(hl[s:e], nm, out=dots[:m])
-        np.signbit(dots[:m], out=sb[:m])
-        bad = sb[:m].reshape(m, t_n, 5).any(axis=2)
-        keep[:, s:e] = (~bad).T
+    keep = None
+    if bvh is not None and n:
+        from ...native import tile_cull_native
+        keep = tile_cull_native(bvh.nodes_lo, bvh.nodes_hi, bvh.meta_np,
+                                lo, hi, margin, planes)
+    if keep is None:
+        nmat = planes.reshape(t_n * 5, 3).T  # (3, T*5)
+        hl = np.concatenate([hi, lo, margin[:, None]], axis=1)  # (n, 7)
+        nm = np.concatenate([np.maximum(nmat, 0.0), np.minimum(nmat, 0.0),
+                             np.ones((1, t_n * 5))],
+                            axis=0).astype(np.float32)
+        # big buffers via the raw-mmap allocator and reused across chunks:
+        # jaxlib's THP-madvised arenas make first-touch faults on fresh
+        # hundreds-of-MB numpy outputs ~80x slower (measured 30-40 s per
+        # gemm on this container vs 0.26 s warm)
+        keep = alloc_big((t_n, n), bool)  # tile-major: rows contiguous
+        step = 65536
+        dots = alloc_big((step, t_n * 5), np.float32)
+        sb = alloc_big((step, t_n * 5), bool)
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            m = e - s
+            # p-vertex: box meets {n.x>=0} iff hi.max(n,0)+lo.min(n,0) >= 0
+            np.matmul(hl[s:e], nm, out=dots[:m])
+            np.signbit(dots[:m], out=sb[:m])
+            bad = sb[:m].reshape(m, t_n, 5).any(axis=2)
+            keep[:, s:e] = (~bad).T
 
     counts = keep.sum(axis=1)
     pad_counts = np.maximum(-(-counts // CHUNK) * CHUNK, CHUNK)

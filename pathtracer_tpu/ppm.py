@@ -698,7 +698,8 @@ class PPMRenderer:
                 tt = ttk.build_tile_tri_table(
                     self.camera, np.asarray(self.mesh.tri_a),
                     np.asarray(self.mesh.tri_e1),
-                    np.asarray(self.mesh.tri_e2), self.width, self.height)
+                    np.asarray(self.mesh.tri_e2), self.width, self.height,
+                    bvh=self.mesh)
                 bands, n_tiles = ttk.band_chunk_maps(tt, band_rows)
                 src_lane, back = ttk.lane_maps(self.width, band_rows,
                                                tt.tx_n)

@@ -142,3 +142,47 @@ def test_ppm_tile_primary_matches_walk(tmp_path):
     # cone-filter weights, so the images differ at the 1e-5 level on a
     # multi-unit radiance scale
     np.testing.assert_allclose(tile_img, walk_img, rtol=1e-3, atol=1e-4)
+
+
+def test_bvh_cull_is_conservative_superset_of_brute():
+    """The BVH-guided tile cull (native.tile_cull_native) must accept a
+    SUPERSET of the brute-force sgemm accepts per tile (any conservative
+    superset keeps the kernel's strict-< argmin bit-identical), and stay
+    tight (no blow-up)."""
+    from pathtracer_tpu.camera import Camera
+    from pathtracer_tpu.native import get_lib
+    from pathtracer_tpu.ops.bvh import MeshBVH
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rs = np.random.RandomState(11)
+    verts = rs.uniform(-4, 4, (200, 3)).astype(np.float32)
+    faces = rs.randint(0, 200, (600, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    mat = np.zeros(12, np.float32)
+    mesh = MeshBVH(verts, faces, mat, walk="octant")
+    cam = Camera.create(eye=(9, 2, 5), target=(0, 0, 0), up=(0, 1, 0),
+                        aspect=1.5, vertical_fov_deg=40.0)
+    W, H = 192, 128
+
+    def tile_sets(tt):
+        out = []
+        for t in range(tt.tx_n * tt.ty_n):
+            s0 = int(tt.tile_chunk_start[t]) * ttk.CHUNK
+            s1 = int(tt.tile_chunk_start[t + 1]) * ttk.CHUNK
+            real = np.any(tt.table[3:9, s0:s1] != 0, axis=0)
+            out.append(set(np.unique(tt.table[9, s0:s1][real]).astype(int)))
+        return out
+
+    a, e1, e2 = mesh.tri_a, mesh.tri_e1, mesh.tri_e2
+    brute = tile_sets(ttk.build_tile_tri_table(cam, a, e1, e2, W, H))
+    bvh = tile_sets(ttk.build_tile_tri_table(cam, a, e1, e2, W, H,
+                                             bvh=mesh))
+    n_brute = sum(len(s) for s in brute)
+    n_bvh = sum(len(s) for s in bvh)
+    for t, (sb, sv) in enumerate(zip(brute, bvh)):
+        assert sb <= sv, f"tile {t}: BVH cull dropped brute-accepted tris"
+    assert n_bvh <= n_brute * 1.05 + 64, (n_bvh, n_brute)
