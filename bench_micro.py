@@ -73,6 +73,29 @@ def main():
           lambda x: vec.normalize(x + 1e-9 * shading.cosine_hemisphere(
               jnp.clip(x[:, 0], 0, 1), jnp.clip(x[:, 1], 0, 1))), v, n)
 
+    # bbox slab test + point query (intersect_bench.ml:33-58: bbox
+    # hit/miss and Bbox.mem are the reference's remaining microbenches)
+    blo = jnp.asarray(rs.uniform(-10.0, 0.0, (n, 3)).astype(np.float32))
+    bhi = blo + jnp.asarray(rs.uniform(0.5, 5.0, (n, 3)).astype(np.float32))
+    pts = jnp.asarray(rs.uniform(-10.0, 5.0, (n, 3)).astype(np.float32))
+
+    def bbox_slab(x):
+        inv = 1.0 / x
+        t0 = blo * inv  # ray origin at 0 (camera-space primaries)
+        t1 = bhi * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = jnp.maximum(tn, 0.0) <= tf
+        return vec.normalize(x + 1e-9 * hit[:, None])
+
+    bench("bbox slab hit/miss", bbox_slab, v, n)
+
+    def bbox_mem(x):
+        inside = jnp.all((x >= blo) & (x <= bhi), axis=-1)
+        return x + 1e-9 * inside[:, None]
+
+    bench("bbox mem (point query)", bbox_mem, pts, n)
+
     # sampler
     s = Sampler(18)
     offs = jnp.arange(n, dtype=jnp.uint32)
