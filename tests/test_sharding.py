@@ -186,3 +186,30 @@ def test_sharded_tiled_mesh_scene_matches_single_device():
     got, segs = build(2, 2)(scene)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     assert int(segs) == int(want_segs)
+
+
+def test_ppm_mesh_scene_multi_device_matches_single(tmp_path):
+    """The production ganesha pattern multi-device: mesh BVH walk + tile-
+    culled primary kernel + sharded photon chunks + eye bands across the
+    8 virtual devices, bit-identical to single-device (positional
+    sampling makes placement invisible). Cornell's multi-device test has
+    no mesh, so this is the only coverage of device_put'ing the walk
+    table + tile table per device."""
+    import os
+
+    from tools.make_test_mesh import uv_sphere
+    from pathtracer_tpu.io import ply
+    from pathtracer_tpu.models import ganesha
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    verts, faces = uv_sphere(10, 6, np.array([328.0, 60.0, 150.0]), 45.0)
+    path = os.path.join(str(tmp_path), "tiny_ganesha.ply")
+    ply.write_mesh(path, verts, faces)
+    imgs = []
+    for devices in (jax.devices()[:1], jax.devices()):
+        scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
+        rend = PPMRenderer(scene, cam, lights, 64, 64, iterations=1,
+                           photon_count=1500, max_bounces=3, verbose=False,
+                           mesh=mesh, bbox_override=bbox, devices=devices)
+        imgs.append(rend.render())
+    np.testing.assert_array_equal(imgs[0], imgs[1])
