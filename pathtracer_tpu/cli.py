@@ -116,6 +116,11 @@ def add_ppm_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-checkpoint", "--checkpoint", metavar="FILE", default=None,
                    help="save/resume iteration state (img_sum + counter) "
                         "to FILE every iteration")
+    p.add_argument("-shard-photon-map", "--shard-photon-map",
+                   action="store_true",
+                   help="multi-device: keep each device's photon chunks "
+                        "local and gather flux from per-device sub-grids "
+                        "(photon-map memory per device scales 1/n_devices)")
 
 
 def run_cornell(argv=None) -> None:
@@ -134,7 +139,8 @@ def run_cornell(argv=None) -> None:
                            iterations=args.iterations,
                            photon_count=args.photon_count, alpha=args.alpha,
                            max_bounces=args.max_bounces,
-                           verbose=not args.no_progress)
+                           verbose=not args.no_progress,
+                           shard_photon_map=args.shard_photon_map)
     renderer.render(output=args.output, checkpoint_path=args.checkpoint)
     print(f"render time = {(time.monotonic() - t0) * 1e3:.3f} ms")
 
@@ -181,7 +187,8 @@ def run_ganesha(argv=None) -> None:
                            photon_count=args.photon_count, alpha=args.alpha,
                            max_bounces=args.max_bounces,
                            verbose=not args.no_progress, mesh=mesh,
-                           bbox_override=bbox)
+                           bbox_override=bbox,
+                           shard_photon_map=args.shard_photon_map)
     renderer.render(output=args.output, checkpoint_path=args.checkpoint)
     print(f"elapsed ms: {(time.monotonic() - t_total) * 1e3:.3f}")
 

@@ -242,6 +242,7 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         one_chunk = lambda offset_base: flatten(trace_chunk(
             offset_base, jnp.int32(0), consts, scene))
         one_chunk._trace_chunk = trace_chunk  # AOT phase diagnostics
+        one_chunk.sharded = lambda offset_base: [one_chunk(offset_base)]
         return one_chunk, total, dep_rows
 
     if n_dev > 1:
@@ -270,7 +271,33 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             for k in range(4))
         return flatten(cat)
 
+    def trace_photons_sharded(offset_base):
+        """Per-device deposits: each device KEEPS its own chunks' photons
+        (no gather to device 0), so the photon map's memory footprint per
+        device scales as 1/n_dev — `-photon-count` can grow with the mesh
+        size. Padding lanes past `total` carry dep_ok=False, so no trim is
+        needed; the gather masks them."""
+        outs = [[] for _ in range(n_dev)]
+        for ci in range(n_chunks):
+            di = ci % n_dev
+            base = jnp.int32(ci * chunk)
+            ob = jnp.uint32(offset_base)
+            if n_dev > 1:
+                base = jax.device_put(base, devices[di])
+                ob = jax.device_put(ob, devices[di])
+            outs[di].append(trace_chunk(ob, base, consts_dev[di],
+                                        scene_dev[di]))
+        per_dev = []
+        for chunks_out in outs:
+            if not chunks_out:
+                continue
+            cat = tuple(jnp.concatenate([o[k] for o in chunks_out], axis=1)
+                        for k in range(4))
+            per_dev.append(flatten(cat))
+        return per_dev
+
     trace_photons._trace_chunk = trace_chunk  # AOT phase diagnostics
+    trace_photons.sharded = trace_photons_sharded
     return trace_photons, total, dep_rows
 
 
@@ -490,8 +517,7 @@ def make_eye_pass(camera: Camera, width: int, height: int,
     if use_kernel:
         gather = gather_kernel
 
-    def eye_pass(offset_base, radius, grid, row0, mesh_consts, scene_t,
-                 tile_consts=None):
+    def eye_walk(offset_base, row0, mesh_consts, scene_t, tile_consts=None):
         # scene rides as a traced argument — closed-over device arrays
         # become MLIR constants whose materialization stalls lowering on
         # the tunneled TPU (see make_photon_pass)
@@ -588,13 +614,33 @@ def make_eye_pass(camera: Camera, width: int, height: int,
         (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok), _ = jax.lax.scan(
             bounce_body, (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok),
             jnp.arange(eff_bounces, dtype=jnp.int32))
-        flux = gather(fd_pt, fd_nrm, fd_ok, radius, grid)
+        return fd_pt, fd_nrm, fd_beta, fd_ok
+
+    def finish(fd_beta, fd_ok, flux, radius):
         area = np.float32(np.pi) * radius * radius
         normalizer = np.float32(1.0 - 2.0 / 3.0)
         contrib = fd_beta * flux / (area * normalizer)
         result = vec.where3(fd_ok, contrib, jnp.zeros_like(contrib))
         return (result * inv_pc)[:n_pix].reshape(band_rows, width, 3)
 
+    def eye_pass(offset_base, radius, grid, row0, mesh_consts, scene_t,
+                 tile_consts=None):
+        fd_pt, fd_nrm, fd_beta, fd_ok = eye_walk(offset_base, row0,
+                                                 mesh_consts, scene_t,
+                                                 tile_consts)
+        flux = gather(fd_pt, fd_nrm, fd_ok, radius, grid)
+        return finish(fd_beta, fd_ok, flux, radius)
+
+    # sharded-photon-map pieces: the driver runs walk ONCE per band, then
+    # gathers a partial flux against each device's sub-grid and sums the
+    # partials in fixed device order (flux is additive over photons)
+    eye_pass.walk = eye_walk
+    eye_pass.finish = finish
+    if use_kernel:
+        eye_pass.make_gather = lambda dl: gather_kernel
+    else:
+        eye_pass.make_gather = lambda dl: functools.partial(
+            hash_gather, grid_m=grid_m, dep_lanes=dl)
     return eye_pass
 
 
@@ -618,6 +664,13 @@ class PPMRenderer:
     devices: list = None  # eye-pass bands fan out across these (default: all)
     tile_primary: bool = None  # tile-culled primary kernel (None = auto:
     # on with the TPU kernel tier for one-bounce eye scans over a mesh)
+    shard_photon_map: bool = False  # multi-device: each device keeps ONLY
+    # its own photon chunks and builds a sub-grid over them, so the photon
+    # map's memory per device scales 1/n_dev (-photon-count can grow with
+    # the device count). The eye walk runs once per band; a partial flux is
+    # gathered against every sub-grid and the partials are summed in fixed
+    # device order — deterministic, but the FP association differs from the
+    # replicated map, so images match to ~1e-6, not bit-exactly.
 
     def __post_init__(self):
         if self.backend is None:
@@ -718,13 +771,14 @@ class PPMRenderer:
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
                 tile = get_tile(band_rows)
-                eye_passes[band_rows] = jax.jit(make_eye_pass(
+                raw = make_eye_pass(
                     self.camera, self.width, self.height,
                     self.max_bounces, self.photon_count, dep_lanes,
                     self.backend, grid_m=grid_m, mesh=self.mesh,
                     band_rows=band_rows, use_kernel=use_kernel,
                     eff_bounces=eff_bounces,
-                    tile_static=tile[0] if tile else None))
+                    tile_static=tile[0] if tile else None)
+                eye_passes[band_rows] = (jax.jit(raw), raw)
             return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
@@ -738,17 +792,17 @@ class PPMRenderer:
                 if self.verbose:
                     print(f"resuming from iteration {start_iter}", flush=True)
         consts_dev = scene_dev = None
-        for i in range(start_iter, self.iterations):
-            t_iter = time.monotonic()
-            r = self.radius(i + 1)
-            if self.verbose:
-                print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
-            pos, nrm, flux, ok = trace_photons(
-                jnp.uint32(i * self.photon_count))
-            n_photons = int(ok.sum())
-            if self.verbose:
-                print(f"  photon map length = {n_photons} "
-                      f"({time.monotonic() - t_iter:.2f}s)", flush=True)
+        devices = self.devices or jax.devices()
+        shard = bool(self.shard_photon_map) and len(devices) > 1
+        shard_fns = {}  # band_rows -> (walk_jit, finish_jit)
+        gather_jits = {}  # dep_lanes -> jitted partial-flux gather
+
+        def build_one_grid(pos, nrm, flux, ok, r):
+            """Build one (sub-)grid over the given deposits, on whatever
+            device holds them (jnp ops follow committed inputs). Returns
+            (grid, eff_bucket); eff_bucket drives band sizing for the
+            lockstep hash gather (0.0 on the kernel tier, which sizes
+            bands by a fixed row count instead)."""
             if use_kernel:
                 from .ops.pallas import gather_kernel as gk
                 big = np.float32(3.0e38)
@@ -761,41 +815,70 @@ class PPMRenderer:
                 cell = np.float32(max(r, extent / (gk.SIDE - 1)))
                 photons_t, start, count = gk.build_photon_grid_morton(
                     pos, nrm, flux, ok, jnp.asarray(glo, jnp.float32), cell)
-                grid = (photons_t, start, count,
-                        jnp.asarray(glo, jnp.float32), cell)
+                return (photons_t, start, count,
+                        jnp.asarray(glo, jnp.float32), cell), 0.0
+            order, start, count = build_photon_grid(pos, ok, jnp.float32(r),
+                                                    m=grid_m)
+            max_bucket = max(1, int(count.max()))
+            # the gather sorts lanes by candidate count and runs
+            # lockstep chunks in sorted order, so a call's duration
+            # tracks the MEAN bucket load, not the max; the max only
+            # bounds one chunk (x4 safety margin keeps dense outliers
+            # under the 60 s call kill)
+            n_ph = max(1, int(ok.sum()))
+            nonempty = max(1, int((count > 0).sum()))
+            mean_bucket = max(1.0, n_ph / nonempty)
+            eff_bucket = min(float(max_bucket), 4.0 * mean_bucket + 32.0)
+            return (order, start, count, pos, nrm, flux, ok), eff_bucket
+
+        for i in range(start_iter, self.iterations):
+            t_iter = time.monotonic()
+            r = self.radius(i + 1)
+            if self.verbose:
+                print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
+            if shard:
+                per_dev = trace_photons.sharded(
+                    jnp.uint32(i * self.photon_count))
+                n_photons = sum(int(o[3].sum()) for o in per_dev)
+            else:
+                pos, nrm, flux, ok = trace_photons(
+                    jnp.uint32(i * self.photon_count))
+                n_photons = int(ok.sum())
+            if self.verbose:
+                print(f"  photon map length = {n_photons} "
+                      f"({time.monotonic() - t_iter:.2f}s)", flush=True)
+            if shard:
+                built = [build_one_grid(*o, r) for o in per_dev]
+                sub_grids = [b[0] for b in built]
+                effs = [b[1] for b in built]
+            else:
+                grid, eff = build_one_grid(pos, nrm, flux, ok, r)
+                effs = [eff]
+            if use_kernel:
                 # the Pallas gather keeps even dense bands well under the
                 # tunneled device's call ceiling (~0.5 s/band measured at
                 # 256 rows on caustic-dense cornell iterations), so bands
                 # are large to amortize the ~30 ms per-call dispatch
                 band_rows = min(256, self.height)
             else:
-                order, start, count = build_photon_grid(pos, ok,
-                                                        jnp.float32(r),
-                                                        m=grid_m)
-                max_bucket = max(1, int(count.max()))
-                # the gather sorts lanes by candidate count and runs
-                # lockstep chunks in sorted order, so a call's duration
-                # tracks the MEAN bucket load, not the max; the max only
-                # bounds one chunk (x4 safety margin keeps dense outliers
-                # under the 60 s call kill)
-                nonempty = max(1, int((count > 0).sum()))
-                mean_bucket = max(1.0, n_photons / nonempty)
-                eff_bucket = min(float(max_bucket), 4.0 * mean_bucket + 32.0)
+                eff_bucket = max(effs)
                 rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
                 band_rows = 4
                 while band_rows * 2 <= min(64, self.height, rows_fit):
                     band_rows *= 2
                 band_rows = min(band_rows, self.height)
-                grid = (order, start, count, pos, nrm, flux, ok)
             n_bands = -(-self.height // band_rows)
-            eye_fn = get_eye_pass(band_rows)
+            eye_fn, eye_raw = get_eye_pass(band_rows)
             # fan the independent bands out across devices: the photon map is
             # replicated (device_put broadcast — the reference's shared
             # immutable tree), bands round-robin, results stitched on host.
             # This is the domainslib tile fan-out (integrator.ml:141-151)
-            # for the photon mapper.
-            devices = self.devices or jax.devices()
-            if len(devices) > 1:
+            # for the photon mapper. With shard_photon_map each device keeps
+            # its own sub-grid instead and bands gather a partial flux from
+            # every device.
+            if shard:
+                grids = [None] * len(devices)
+            elif len(devices) > 1:
                 grids = [jax.device_put(grid, dev) for dev in devices]
             else:
                 grids = [grid]
@@ -818,23 +901,62 @@ class PPMRenderer:
                     tile_cache[tkey] = [jax.device_put(tile[1], dv)
                                         for dv in devices]
             futures = []
-            for bi in range(n_bands):
-                dev = bi % len(grids)
-                if len(grids) > 1:
+            if shard:
+                if band_rows not in shard_fns:
+                    shard_fns[band_rows] = (jax.jit(eye_raw.walk),
+                                            jax.jit(eye_raw.finish))
+                walk_fn, finish_fn = shard_fns[band_rows]
+                sub_gathers = []
+                for g in sub_grids:
+                    # hash-grid tuple: photon positions at slot 3; the
+                    # kernel-tier gather ignores dep_lanes
+                    dl = 0 if use_kernel else int(g[3].shape[0])
+                    if dl not in gather_jits:
+                        gather_jits[dl] = jax.jit(eye_raw.make_gather(dl))
+                    sub_gathers.append(gather_jits[dl])
+                rj = jnp.float32(r)
+                for bi in range(n_bands):
+                    dev = bi % len(devices)
                     put = lambda x: jax.device_put(x, devices[dev])
-                else:
-                    put = lambda x: x
-                args = [
-                    put(jnp.uint32(i * self.width * self.height)),
-                    put(jnp.float32(r)), grids[dev],
-                    put(jnp.int32(bi * band_rows)),
-                    consts_dev[dev], scene_dev[dev]]
-                if tile is not None:
-                    tbl = (tile_cache[(band_rows, "tables_dev")][dev]
-                           if len(grids) > 1 else tile[1])
-                    args.append((tbl,)
-                                + tuple(put(x) for x in tile[2][bi]))
-                futures.append(eye_fn(*args))
+                    wargs = [put(jnp.uint32(i * self.width * self.height)),
+                             put(jnp.int32(bi * band_rows)),
+                             consts_dev[dev], scene_dev[dev]]
+                    if tile is not None:
+                        tbl = tile_cache[(band_rows, "tables_dev")][dev]
+                        wargs.append((tbl,)
+                                     + tuple(put(x) for x in tile[2][bi]))
+                    fd_pt, fd_nrm, fd_beta, fd_ok = walk_fn(*wargs)
+                    # partial flux per sub-grid, summed in FIXED sub-grid
+                    # order (deterministic; association differs from the
+                    # replicated map by FP reassociation only)
+                    fsum = None
+                    for g, gf in zip(sub_grids, sub_gathers):
+                        gdev = next(iter(g[0].devices()))
+                        part = gf(jax.device_put(fd_pt, gdev),
+                                  jax.device_put(fd_nrm, gdev),
+                                  jax.device_put(fd_ok, gdev),
+                                  jax.device_put(rj, gdev), g)
+                        part = jax.device_put(part, devices[dev])
+                        fsum = part if fsum is None else fsum + part
+                    futures.append(finish_fn(fd_beta, fd_ok, fsum, put(rj)))
+            else:
+                for bi in range(n_bands):
+                    dev = bi % len(grids)
+                    if len(grids) > 1:
+                        put = lambda x: jax.device_put(x, devices[dev])
+                    else:
+                        put = lambda x: x
+                    args = [
+                        put(jnp.uint32(i * self.width * self.height)),
+                        put(jnp.float32(r)), grids[dev],
+                        put(jnp.int32(bi * band_rows)),
+                        consts_dev[dev], scene_dev[dev]]
+                    if tile is not None:
+                        tbl = (tile_cache[(band_rows, "tables_dev")][dev]
+                               if len(grids) > 1 else tile[1])
+                        args.append((tbl,)
+                                    + tuple(put(x) for x in tile[2][bi]))
+                    futures.append(eye_fn(*args))
             img = np.concatenate([np.asarray(b, np.float64)
                                   for b in futures])[:self.height]
             img_sum += img[::-1]  # reference writes row (height-1-y)

@@ -118,6 +118,48 @@ def test_ppm_multi_device_matches_single():
     np.testing.assert_array_equal(a, b)
 
 
+def test_ppm_sharded_photon_map_matches_replicated():
+    """shard_photon_map=True: each device keeps only its own photon chunks
+    and builds a sub-grid over them; eye bands gather a partial flux from
+    every sub-grid and sum in fixed device order. Must agree with the
+    replicated photon map up to FP reassociation of the flux sum."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=1, photon_count=2000, max_bounces=3, verbose=False,
+              devices=jax.devices())
+    a = PPMRenderer(scene, cam, lights, 64, 64, **kw).render()
+    b = PPMRenderer(scene, cam, lights, 64, 64, shard_photon_map=True,
+                    **kw).render()
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+
+def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
+    """Sharded photon map on the ganesha pattern (mesh BVH + tile-culled
+    primary path on CPU interpret): per-device sub-grids with the walk's
+    first-diffuse records shipped to every device for partial gathers."""
+    import os
+
+    from tools.make_test_mesh import uv_sphere
+    from pathtracer_tpu.io import ply
+    from pathtracer_tpu.models import ganesha
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    verts, faces = uv_sphere(10, 6, np.array([328.0, 60.0, 150.0]), 45.0)
+    path = os.path.join(str(tmp_path), "tiny_ganesha.ply")
+    ply.write_mesh(path, verts, faces)
+    imgs = []
+    for shard in (False, True):
+        scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
+        rend = PPMRenderer(scene, cam, lights, 64, 64, iterations=1,
+                           photon_count=1500, max_bounces=3, verbose=False,
+                           mesh=mesh, bbox_override=bbox,
+                           devices=jax.devices(), shard_photon_map=shard)
+        imgs.append(rend.render())
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6, rtol=1e-4)
+
+
 def test_sharded_mesh_scene_matches_single_device():
     """A triangle-mesh scene (the ganesha pattern) rendered through
     make_sharded_render_fn(scene_mesh=...): the mesh walk table and
