@@ -5,6 +5,7 @@ Bounds are set by the measured f32-vs-f64 divergence (BASELINE.md)."""
 import os
 
 import numpy as np
+import pytest
 
 _SCENES = os.path.join(os.path.dirname(__file__), "..", "scenes")
 
@@ -21,6 +22,29 @@ def test_shirley_matches_f64_golden():
     assert rmse < 2.5e-3, rmse  # f32 vs f64 budget at spp=4
     # segment counts may differ by a handful of boundary samples
     assert abs(int(segs) - int(g["segments"])) < 100
+
+
+@pytest.mark.slow
+def test_shirley_fullres_matches_f64_oracle():
+    """Full-resolution quality gate (~60 s CPU): the production-size render
+    (600x300, the reference README's canonical dimensions) at spp=8 must
+    stay inside the f32-vs-f64 RMSE budget. Guards the fused/composite
+    paths' fp-ordering margin at scale — the small goldens above can't see
+    reduction-order regressions that only accumulate over full-size tiles.
+    Deselect with -m 'not slow'."""
+    from pathtracer_tpu.models import shirley
+    from pathtracer_tpu.integrator import make_render_fn
+
+    g = np.load(os.path.join(_SCENES, "oracle_shirley_600x300_spp8_f64.npz"))
+    scene, cam, bg = shirley.build(2.0)
+    render = make_render_fn(cam, bg, 600, 300, 8, 8, backend="xla")
+    img, segs = render(scene)
+    rmse = float(np.sqrt(np.mean(
+        (np.asarray(img, np.float64) - g["img"]) ** 2)))
+    # measured f32-vs-f64 curve: 9.3e-4 @spp32; spp=8 carries ~2x the MC
+    # noise sensitivity, budget 1.6e-3 (BASELINE.md RMSE-vs-spp table)
+    assert rmse < 1.6e-3, rmse
+    assert abs(int(segs) - int(g["segments"])) < 200
 
 
 def test_cornell_ppm_matches_golden():
