@@ -26,8 +26,11 @@ from pathtracer_tpu.ops.lds import Sampler
 from pathtracer_tpu.ppm import _emit_rays, light_photon_counts
 
 
-def walk_steps(mesh, org, d, chunk=4096):
-    """Per-lane octant-walk step counts + nearest mesh t (host replica)."""
+def walk_steps(mesh, org, d, chunk=4096, t_init=None):
+    """Per-lane octant-walk step counts + nearest mesh t (host replica).
+    t_init: optional per-lane initial t_best (e.g. the floor hit) — the
+    reference caps the mesh walk at the floor t (ganesha main.ml:286-298);
+    this measures how many steps that cap would prune."""
     n = org.shape[0]
     table = np.asarray(mesh.table_j)
     tab_i = table.view(np.int32)
@@ -42,7 +45,8 @@ def walk_steps(mesh, org, d, chunk=4096):
         sel = slice(c0, min(n, c0 + chunk))
         ptr = octs[sel] * m
         lret = np.full(ptr.shape, done)
-        t_best = np.full(ptr.shape, 3.0e38, np.float32)
+        t_best = (np.full(ptr.shape, 3.0e38, np.float32) if t_init is None
+                  else t_init[sel].astype(np.float32).copy())
         o_, dd, idd = org[sel], d[sel], inv_d[sel]
         live = ptr != done
         kcount = np.zeros(ptr.shape, np.int64)
@@ -84,10 +88,31 @@ def walk_steps(mesh, org, d, chunk=4096):
     return per_lane, t_hit
 
 
+def _octant_mesh(path, cam, mat_row):
+    """Rebuild the mesh with the octant walk table (models/ganesha.py's
+    load_mesh, but walk='octant' so the host step replica applies)."""
+    from pathtracer_tpu.io import ply
+    from pathtracer_tpu.ops.bvh import MeshBVH
+
+    p = ply.load(path)
+    verts_el = p.data["vertex"]
+    verts = np.stack([np.asarray(verts_el[k], np.float64)
+                      for k in ("x", "y", "z")], axis=1)
+    faces = None
+    for el, cols in p.data.items():
+        if "vertex_indices" in cols:
+            faces = np.asarray(cols["vertex_indices"])
+    return MeshBVH(cam.transform_points(verts), faces, mat_row,
+                   length_cutoff=8, walk="octant")
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "scenes/big_ganesha.ply"
     photons = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
-    scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
+    scene, cam, lights, mesh8, bbox = ganesha.build(path, 1.0)
+    # the step replica models the octant (binary) walk — a proxy for the
+    # BVH8 walk's relative cost split by outcome class
+    mesh = _octant_mesh(path, cam, mesh8.mat_row)
     print(f"{mesh.n_tris} tris, depth {mesh.depth}", flush=True)
 
     counts, starts, total = light_photon_counts(lights, photons)
@@ -141,6 +166,31 @@ def main():
               f"mesh-hit={mesh_hit[m].mean() * 100:.1f}% "
               f"cullable-steps="
               f"{steps[m & cullable].sum() * 100.0 / tot:.1f}%")
+
+    # floor-t cap: nearest hit of the scene's 2 floor triangles seeds the
+    # walk's t_best (reference semantics, ganesha main.ml:286-298)
+    from pathtracer_tpu.scene import TRI_A, TRI_E1, TRI_E2
+
+    tp = np.asarray(scene.tri_pack)
+    t_floor = np.full(total, 3.0e38, np.float32)
+    o_, dd = org[perm], d[perm]
+    for k in range(tp.shape[0]):
+        a, e1, e2 = tp[k, TRI_A], tp[k, TRI_E1], tp[k, TRI_E2]
+        pv = np.cross(dd, e2[None])
+        det = np.sum(e1[None] * pv, axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            det_inv = 1.0 / det
+            tv = o_ - a[None]
+            uu = det_inv * np.sum(tv * pv, axis=-1)
+            qv = np.cross(tv, e1[None])
+            vv = det_inv * np.sum(dd * qv, axis=-1)
+            tt = det_inv * np.sum(e2[None] * qv, axis=-1)
+        ok = ((np.abs(det) >= 1e-6) & (uu >= 0) & (uu <= 1) & (vv >= 0)
+              & (uu + vv <= 1) & (tt >= 0))
+        t_floor = np.where(ok & (tt < t_floor), tt, t_floor).astype(np.float32)
+    steps_c, _ = walk_steps(mesh, o_, dd, t_init=t_floor)
+    print(f"floor-t-seeded walk: steps total={steps_c.sum()} "
+          f"({steps_c.sum() * 100.0 / tot:.1f}% of unseeded)")
 
 
 if __name__ == "__main__":
