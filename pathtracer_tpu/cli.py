@@ -116,11 +116,23 @@ def add_ppm_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-checkpoint", "--checkpoint", metavar="FILE", default=None,
                    help="save/resume iteration state (img_sum + counter) "
                         "to FILE every iteration")
-    p.add_argument("-shard-photon-map", "--shard-photon-map",
-                   action="store_true",
+    p.add_argument("-shard-photon-map", "--shard-photon-map", nargs="?",
+                   const="host", default=None, choices=("host", "ring"),
                    help="multi-device: keep each device's photon chunks "
                         "local and gather flux from per-device sub-grids "
-                        "(photon-map memory per device scales 1/n_devices)")
+                        "(photon-map memory per device scales 1/n_devices)."
+                        " 'host' (default when given bare) fans bands out "
+                        "as bounded device calls; 'ring' runs one "
+                        "shard_map where sub-grids rotate over the device "
+                        "ring with ppermute (ICI-native)")
+
+
+def _shard_mode(args):
+    """Map the CLI value to PPMRenderer.shard_photon_map: absent -> off,
+    bare/'host' -> host-orchestrated sub-grids, 'ring' -> shard_map ring."""
+    if args.shard_photon_map is None:
+        return False
+    return "ring" if args.shard_photon_map == "ring" else True
 
 
 def run_cornell(argv=None) -> None:
@@ -140,7 +152,7 @@ def run_cornell(argv=None) -> None:
                            photon_count=args.photon_count, alpha=args.alpha,
                            max_bounces=args.max_bounces,
                            verbose=not args.no_progress,
-                           shard_photon_map=args.shard_photon_map)
+                           shard_photon_map=_shard_mode(args))
     renderer.render(output=args.output, checkpoint_path=args.checkpoint)
     print(f"render time = {(time.monotonic() - t0) * 1e3:.3f} ms")
 
@@ -188,7 +200,7 @@ def run_ganesha(argv=None) -> None:
                            max_bounces=args.max_bounces,
                            verbose=not args.no_progress, mesh=mesh,
                            bbox_override=bbox,
-                           shard_photon_map=args.shard_photon_map)
+                           shard_photon_map=_shard_mode(args))
     renderer.render(output=args.output, checkpoint_path=args.checkpoint)
     print(f"elapsed ms: {(time.monotonic() - t_total) * 1e3:.3f}")
 

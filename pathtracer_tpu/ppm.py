@@ -445,6 +445,32 @@ def hash_gather(point, normal, active, radius, grid, grid_m,
     return acc.reshape(-1, 3)[:n][inv_perm]
 
 
+@jax.jit
+def _build_grid_morton_device(pos, nrm, flux, ok, r):
+    """Kernel-tier photon grid built entirely ON DEVICE — no host pulls.
+    The grid origin/cell only steer bucketing; results are exact for any
+    origin because the gather applies exact distance + normal tests and
+    cell >= r guarantees 3x3x3 candidate completeness, so computing them
+    in f32 on device (vs the old f64 host pull) changes nothing but the
+    accumulation order. Keeping the whole build in one jit turns the
+    per-iteration photon->grid->eye chain into a single async dispatch
+    stream: the old host round-trips (glo/ghi pulls + ~15 eager ops)
+    each cost tunnel latency AND stalled band dispatch behind them."""
+    from .ops.pallas import gather_kernel as gk
+
+    big = jnp.float32(3.0e38)
+    glo = jnp.min(jnp.where(ok[:, None], pos, big), axis=0)
+    ghi = jnp.max(jnp.where(ok[:, None], pos, -big), axis=0)
+    # strict decrease even in f32 (1e-6*|x| >= ulp): valid deposits land
+    # at cell index >= 0 without relying on the clip
+    glo = glo - (jnp.float32(1e-5) + jnp.float32(1e-6) * jnp.abs(glo))
+    extent = jnp.maximum(jnp.float32(1e-9), jnp.max(ghi - glo))
+    cell = jnp.maximum(r, extent / np.float32(gk.SIDE - 1))
+    photons_t, start, count = gk.build_photon_grid_morton(
+        pos, nrm, flux, ok, glo, cell)
+    return photons_t, start, count, glo, cell
+
+
 def scene_all_diffuse(scene, mesh=None) -> bool:
     """True when no valid primitive has a specular (metal/dielectric)
     material — then an eye path can never continue past its first hit."""
@@ -664,12 +690,24 @@ class PPMRenderer:
     devices: list = None  # eye-pass bands fan out across these (default: all)
     tile_primary: bool = None  # tile-culled primary kernel (None = auto:
     # on with the TPU kernel tier for one-bounce eye scans over a mesh)
+    phase_cb: Callable = None  # optional (name, value) hook at iteration
+    # phase boundaries (photon_trace / grid_build / bands_dispatched /
+    # stitch) — tools/proto_ppm_iter_phases.py uses it to attribute wall
+    # time on hardware, with or without forced syncs; None = no-op
     shard_photon_map: bool = False  # multi-device: each device keeps ONLY
     # its own photon chunks and builds a sub-grid over them, so the photon
     # map's memory per device scales 1/n_dev (-photon-count can grow with
-    # the device count). The eye walk runs once per band; a partial flux is
-    # gathered against every sub-grid and the partials are summed in fixed
-    # device order — deterministic, but the FP association differs from the
+    # the device count). Two layouts:
+    #   True   — host-orchestrated: the eye walk runs once per band, a
+    #            partial flux is gathered against every sub-grid (bands
+    #            and gathers are separate bounded device calls — the
+    #            tunnel-friendly mode);
+    #   "ring" — one shard_map over a "pp" device mesh: each device walks
+    #            its own image band and the sub-grids rotate around the
+    #            ring with lax.ppermute, so photon traffic rides ICI and
+    #            the whole eye pass is one device program (the pod-native
+    #            mode; parallel/ppm_ring.py).
+    # Both are deterministic; the FP association differs from the
     # replicated map, so images match to ~1e-6, not bit-exactly.
 
     def __post_init__(self):
@@ -794,8 +832,10 @@ class PPMRenderer:
         consts_dev = scene_dev = None
         devices = self.devices or jax.devices()
         shard = bool(self.shard_photon_map) and len(devices) > 1
+        ring = (self.shard_photon_map == "ring") and len(devices) > 1
         shard_fns = {}  # band_rows -> (walk_jit, finish_jit)
         gather_jits = {}  # dep_lanes -> jitted partial-flux gather
+        ring_env = {}  # jmesh + replicated consts + compiled ring passes
 
         def build_one_grid(pos, nrm, flux, ok, r):
             """Build one (sub-)grid over the given deposits, on whatever
@@ -804,19 +844,8 @@ class PPMRenderer:
             lockstep hash gather (0.0 on the kernel tier, which sizes
             bands by a fixed row count instead)."""
             if use_kernel:
-                from .ops.pallas import gather_kernel as gk
-                big = np.float32(3.0e38)
-                glo = np.asarray(jnp.min(jnp.where(ok[:, None], pos, big),
-                                         axis=0), np.float64)
-                ghi = np.asarray(jnp.max(jnp.where(ok[:, None], pos, -big),
-                                         axis=0), np.float64)
-                glo = glo - 1e-5
-                extent = float(max(1e-9, (ghi - glo).max()))
-                cell = np.float32(max(r, extent / (gk.SIDE - 1)))
-                photons_t, start, count = gk.build_photon_grid_morton(
-                    pos, nrm, flux, ok, jnp.asarray(glo, jnp.float32), cell)
-                return (photons_t, start, count,
-                        jnp.asarray(glo, jnp.float32), cell), 0.0
+                return _build_grid_morton_device(pos, nrm, flux, ok,
+                                                 jnp.float32(r)), 0.0
             order, start, count = build_photon_grid(pos, ok, jnp.float32(r),
                                                     m=grid_m)
             max_bucket = max(1, int(count.max()))
@@ -839,22 +868,34 @@ class PPMRenderer:
             if shard:
                 per_dev = trace_photons.sharded(
                     jnp.uint32(i * self.photon_count))
-                n_photons = sum(int(o[3].sum()) for o in per_dev)
             else:
                 pos, nrm, flux, ok = trace_photons(
                     jnp.uint32(i * self.photon_count))
-                n_photons = int(ok.sum())
+            if self.phase_cb is not None:
+                self.phase_cb("photon_trace",
+                              per_dev if shard else (pos, nrm, flux, ok))
             if self.verbose:
+                # the length pull is a host sync — only pay it when the
+                # telemetry is actually printed (quiet production runs keep
+                # the photon->grid->eye chain one uninterrupted dispatch)
+                n_photons = (sum(int(o[3].sum()) for o in per_dev) if shard
+                             else int(ok.sum()))
                 print(f"  photon map length = {n_photons} "
                       f"({time.monotonic() - t_iter:.2f}s)", flush=True)
             if shard:
+                if ring:
+                    from .parallel import ppm_ring as PR
+                    per_dev, dep_rows_shard = PR.pad_deposits(
+                        per_dev, len(devices), devices)
                 built = [build_one_grid(*o, r) for o in per_dev]
                 sub_grids = [b[0] for b in built]
                 effs = [b[1] for b in built]
             else:
                 grid, eff = build_one_grid(pos, nrm, flux, ok, r)
                 effs = [eff]
-            if use_kernel:
+            if ring:
+                band_rows = -(-self.height // len(devices))
+            elif use_kernel:
                 # the Pallas gather keeps even dense bands well under the
                 # tunneled device's call ceiling (~0.5 s/band measured at
                 # 256 rows on caustic-dense cornell iterations), so bands
@@ -867,8 +908,12 @@ class PPMRenderer:
                 while band_rows * 2 <= min(64, self.height, rows_fit):
                     band_rows *= 2
                 band_rows = min(band_rows, self.height)
+            if self.phase_cb is not None:
+                self.phase_cb("grid_build", sub_grids if shard else grid)
             n_bands = -(-self.height // band_rows)
-            eye_fn, eye_raw = get_eye_pass(band_rows)
+            eye_fn = eye_raw = None
+            if not ring:
+                eye_fn, eye_raw = get_eye_pass(band_rows)
             # fan the independent bands out across devices: the photon map is
             # replicated (device_put broadcast — the reference's shared
             # immutable tree), bands round-robin, results stitched on host.
@@ -894,14 +939,41 @@ class PPMRenderer:
                 else:
                     consts_dev = [mesh_consts]
                     scene_dev = [self.scene]
-            tile = get_tile(band_rows)
+            tile = None if ring else get_tile(band_rows)
             if tile is not None and len(devices) > 1:
                 tkey = (band_rows, "tables_dev")
                 if tkey not in tile_cache:  # big table: broadcast once
                     tile_cache[tkey] = [jax.device_put(tile[1], dv)
                                         for dv in devices]
             futures = []
-            if shard:
+            if ring:
+                from jax.sharding import NamedSharding, PartitionSpec
+                if "jmesh" not in ring_env:
+                    ring_env["jmesh"] = PR.make_ppm_mesh(devices)
+                    rep = NamedSharding(ring_env["jmesh"], PartitionSpec())
+                    mc = (self.mesh.device_consts()
+                          if self.mesh is not None else None)
+                    ring_env["consts"] = (jax.device_put(mc, rep)
+                                          if mc is not None else None)
+                    ring_env["scene"] = jax.device_put(self.scene, rep)
+                key = (band_rows, dep_rows_shard)
+                if key not in ring_env:
+                    raw = make_eye_pass(
+                        self.camera, self.width, self.height,
+                        self.max_bounces, self.photon_count,
+                        dep_rows_shard, self.backend, grid_m=grid_m,
+                        mesh=self.mesh, band_rows=band_rows,
+                        use_kernel=use_kernel, eff_bounces=eff_bounces)
+                    ring_env[key] = PR.make_ring_eye_pass(
+                        raw, ring_env["jmesh"], self.height,
+                        band_rows)(dep_rows_shard)
+                stacked = PR.stack_sharded_grids(sub_grids,
+                                                 ring_env["jmesh"])
+                futures.append(ring_env[key](
+                    jnp.uint32(i * self.width * self.height),
+                    jnp.float32(r), stacked, ring_env["consts"],
+                    ring_env["scene"]))
+            elif shard:
                 if band_rows not in shard_fns:
                     shard_fns[band_rows] = (jax.jit(eye_raw.walk),
                                             jax.jit(eye_raw.finish))
@@ -957,9 +1029,13 @@ class PPMRenderer:
                         args.append((tbl,)
                                     + tuple(put(x) for x in tile[2][bi]))
                     futures.append(eye_fn(*args))
+            if self.phase_cb is not None:
+                self.phase_cb("bands_dispatched", futures)
             img = np.concatenate([np.asarray(b, np.float64)
                                   for b in futures])[:self.height]
             img_sum += img[::-1]  # reference writes row (height-1-y)
+            if self.phase_cb is not None:
+                self.phase_cb("stitch", None)
             if self.verbose:
                 print(f"  iteration wall = "
                       f"{time.monotonic() - t_iter:.2f}s", flush=True)

@@ -57,6 +57,32 @@ def test_gather_kernel_matches_bruteforce():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_device_side_grid_build_matches_bruteforce():
+    """ppm._build_grid_morton_device (grid origin/cell computed ON DEVICE,
+    no host pulls) must produce the same exact gather as the brute-force
+    oracle — the f32 origin shift only re-buckets, never drops candidates."""
+    from pathtracer_tpu.ppm import _build_grid_morton_device
+
+    rng = np.random.default_rng(3)
+    r = 0.07
+    n_hits, n_pho = 1024, 2000
+    _, point, normal, active, pos, nrm, flux, valid = _setup(
+        rng, n_hits, n_pho, r)
+    tbl, start, count, glo, cell = _build_grid_morton_device(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid), jnp.float32(r))
+    s_tab, e_tab, own = gk.query_tables(jnp.asarray(point),
+                                        jnp.asarray(active), glo, cell,
+                                        start, count)
+    got = gk.gather_flux_pallas(jnp.asarray(point), jnp.asarray(normal),
+                                s_tab, e_tab, tbl, np.float32(r),
+                                interpret=True)
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    got = np.array(got)
+    got[~active] = 0.0
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_hash_gather_dedupes_colliding_buckets():
     """Regression: two different neighbor cells hashing to the same bucket
     must not double-count its photons. With a 256-entry table collisions are

@@ -135,6 +135,23 @@ def test_ppm_sharded_photon_map_matches_replicated():
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
 
 
+def test_ppm_ring_photon_map_matches_replicated():
+    """shard_photon_map='ring': ONE shard_map runs the whole eye pass —
+    each device walks its own image band and the photon sub-grids rotate
+    around the device ring with lax.ppermute (parallel/ppm_ring.py). Must
+    agree with the replicated photon map up to FP reassociation."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=1, photon_count=2000, max_bounces=3, verbose=False,
+              devices=jax.devices())
+    a = PPMRenderer(scene, cam, lights, 64, 64, **kw).render()
+    b = PPMRenderer(scene, cam, lights, 64, 64, shard_photon_map="ring",
+                    **kw).render()
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+
 def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
     """Sharded photon map on the ganesha pattern (mesh BVH + tile-culled
     primary path on CPU interpret): per-device sub-grids with the walk's
@@ -150,7 +167,7 @@ def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
     path = os.path.join(str(tmp_path), "tiny_ganesha.ply")
     ply.write_mesh(path, verts, faces)
     imgs = []
-    for shard in (False, True):
+    for shard in (False, True, "ring"):
         scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
         rend = PPMRenderer(scene, cam, lights, 64, 64, iterations=1,
                            photon_count=1500, max_bounces=3, verbose=False,
@@ -158,6 +175,8 @@ def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
                            devices=jax.devices(), shard_photon_map=shard)
         imgs.append(rend.render())
     np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6, rtol=1e-4)
+    # ring mode runs the mesh BVH walk inside the shard_map ring
+    np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-6, rtol=1e-4)
 
 
 def test_sharded_mesh_scene_matches_single_device():
