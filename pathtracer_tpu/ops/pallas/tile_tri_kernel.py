@@ -279,16 +279,18 @@ def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
                         width=width, height=height)
 
 
-def band_chunk_maps(tt: TileTriTable, band_rows: int):
+def band_chunk_maps(tt: TileTriTable, band_rows: int, min_bands: int = 0):
     """Per-band (chunk_src, chunk_tile, chunk_first) int32 arrays, all
     padded to the max chunk count across bands so one jitted eye pass
     serves every band. Tile rows beyond the image and padding dummies
     stream the shared zero chunk; dummies write the trailing output block.
-    Returns (list of (cs, ct, cf) per band, n_tiles_band)."""
+    min_bands: emit at least this many bands (trailing all-dead bands for
+    a fixed-size device ring — parallel/ppm_ring.py shards one band per
+    device). Returns (list of (cs, ct, cf) per band, n_tiles_band)."""
     assert band_rows % TILE == 0, band_rows
     tile_rows_band = band_rows // TILE
     n_tiles_band = tile_rows_band * tt.tx_n
-    n_bands = -(-tt.height // band_rows)
+    n_bands = max(-(-tt.height // band_rows), min_bands)
     bands = []
     for bi in range(n_bands):
         cs_parts, ct_parts, cf_parts = [], [], []

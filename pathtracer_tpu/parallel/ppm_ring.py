@@ -85,27 +85,40 @@ def stack_sharded_grids(grids, jmesh: Mesh):
     return jax.tree.map(one, *grids)
 
 
-def make_ring_eye_pass(eye_raw, jmesh: Mesh, height: int, band_rows: int):
-    """Build ring_pass(offset_base, radius, grid, mesh_consts, scene) ->
-    (n_dev*band_rows, W, 3) image (slice to height on host).
+def make_ring_eye_pass(eye_raw, jmesh: Mesh, height: int, band_rows: int,
+                       with_tile: bool = False):
+    """Build ring_pass(offset_base, radius, grid, mesh_consts, scene
+    [, tile_table, cs, ct, cf]) -> (n_dev*band_rows, W, 3) image (slice to
+    height on host).
 
     eye_raw: the un-jitted product of ppm.make_eye_pass built with
     band_rows rows per device; its .walk/.finish/.make_gather stages are
     composed here inside one shard_map. The gather's dep_lanes is the
-    UNIFORM per-device deposit row count (see pad_deposits)."""
+    UNIFORM per-device deposit row count (see pad_deposits).
+
+    with_tile: the tile-culled primary kernel runs inside the shard_map —
+    the tile table is replicated, the per-band chunk maps (uniform length
+    via band_chunk_maps' min_bands padding) are sharded one band per
+    device, so ganesha's production eye path keeps its tuned layout on a
+    pod."""
     n_dev = jmesh.shape["pp"]
     ring = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def build(dep_rows_shard):
         gather = eye_raw.make_gather(dep_rows_shard)
+        tile_specs = (P(), P("pp"), P("pp"), P("pp")) if with_tile else ()
 
         @partial(shard_map, mesh=jmesh,
-                 in_specs=(P(), P(), P("pp"), P("pp"), P(), P()),
+                 in_specs=(P(), P(), P("pp"), P("pp"), P(), P())
+                 + tile_specs,
                  out_specs=P("pp"), check_vma=False)
-        def ring_body(offset_base, radius, row0s, grid, mesh_consts, scene):
+        def ring_body(offset_base, radius, row0s, grid, mesh_consts, scene,
+                      *tile):
             g = jax.tree.map(lambda x: x[0], grid)  # drop the shard axis
+            tc = ((tile[0], tile[1][0], tile[2][0], tile[3][0])
+                  if with_tile else None)
             fd_pt, fd_nrm, fd_beta, fd_ok = eye_raw.walk(
-                offset_base, row0s[0], mesh_consts or None, scene)
+                offset_base, row0s[0], mesh_consts or None, scene, tc)
             flux = gather(fd_pt, fd_nrm, fd_ok, radius, g)
             for _ in range(n_dev - 1):
                 g = jax.tree.map(lambda x: lax.ppermute(x, "pp", ring), g)
@@ -113,10 +126,11 @@ def make_ring_eye_pass(eye_raw, jmesh: Mesh, height: int, band_rows: int):
             return eye_raw.finish(fd_beta, fd_ok, flux, radius)
 
         @jax.jit
-        def ring_pass(offset_base, radius, grid, mesh_consts, scene):
+        def ring_pass(offset_base, radius, grid, mesh_consts, scene,
+                      *tile):
             row0s = jnp.arange(n_dev, dtype=jnp.int32) * band_rows
             return ring_body(offset_base, radius, row0s, grid,
-                             mesh_consts or {}, scene)
+                             mesh_consts or {}, scene, *tile)
 
         return ring_pass
 

@@ -780,31 +780,39 @@ class PPMRenderer:
                         and eff_bounces == 1)
         tile_cache = {}
 
-        def get_tile(band_rows):
-            """(static maps, device table, per-band chunk maps) or None."""
+        def get_tile(band_rows, min_bands=0):
+            """(static maps, device table, per-band chunk maps) or None.
+            min_bands pads trailing all-dead bands so the ring mode can
+            shard exactly one band per device."""
             if not use_tile or band_rows % 32 != 0:
                 return None
-            if band_rows not in tile_cache:
+            key = (band_rows, min_bands)
+            if key not in tile_cache:
                 from .ops.pallas import tile_tri_kernel as ttk
-                tt = ttk.build_tile_tri_table(
-                    self.camera, np.asarray(self.mesh.tri_a),
-                    np.asarray(self.mesh.tri_e1),
-                    np.asarray(self.mesh.tri_e2), self.width, self.height,
-                    bvh=self.mesh)
-                bands, n_tiles = ttk.band_chunk_maps(tt, band_rows)
+                if "tt" not in tile_cache:  # the cull itself runs once
+                    tile_cache["tt"] = ttk.build_tile_tri_table(
+                        self.camera, np.asarray(self.mesh.tri_a),
+                        np.asarray(self.mesh.tri_e1),
+                        np.asarray(self.mesh.tri_e2), self.width,
+                        self.height, bvh=self.mesh)
+                tt = tile_cache["tt"]
+                bands, n_tiles = ttk.band_chunk_maps(tt, band_rows,
+                                                     min_bands)
                 src_lane, back = ttk.lane_maps(self.width, band_rows,
                                                tt.tx_n)
                 static = dict(src_lane=src_lane, back=back, n_tiles=n_tiles,
                               interpret=jax.default_backend() != "tpu")
-                table_j = jnp.asarray(tt.table)
-                # force the bulk upload to complete before first use (lazy
-                # uploads through the TPU tunnel stall the first execution;
-                # see MeshBVH's table note)
-                jax.block_until_ready(table_j)
-                float(table_j[0, 0])
+                if "table_j" not in tile_cache:
+                    table_j = jnp.asarray(tt.table)
+                    # force the bulk upload to complete before first use
+                    # (lazy uploads through the TPU tunnel stall the first
+                    # execution; see MeshBVH's table note)
+                    jax.block_until_ready(table_j)
+                    float(table_j[0, 0])
+                    tile_cache["table_j"] = table_j
                 bands_j = [tuple(jnp.asarray(x) for x in b) for b in bands]
-                tile_cache[band_rows] = (static, table_j, bands_j)
-            return tile_cache[band_rows]
+                tile_cache[key] = (static, tile_cache["table_j"], bands_j)
+            return tile_cache[key]
 
         def get_eye_pass(band_rows):
             if band_rows not in eye_passes:
@@ -895,6 +903,8 @@ class PPMRenderer:
                 effs = [eff]
             if ring:
                 band_rows = -(-self.height // len(devices))
+                if use_tile:  # tile kernel needs 32-row-aligned bands
+                    band_rows = -(-band_rows // 32) * 32
             elif use_kernel:
                 # the Pallas gather keeps even dense bands well under the
                 # tunneled device's call ceiling (~0.5 s/band measured at
@@ -956,23 +966,37 @@ class PPMRenderer:
                     ring_env["consts"] = (jax.device_put(mc, rep)
                                           if mc is not None else None)
                     ring_env["scene"] = jax.device_put(self.scene, rep)
-                key = (band_rows, dep_rows_shard)
+                tile_r = get_tile(band_rows, min_bands=len(devices))
+                if tile_r is not None and "tile_stacked" not in ring_env:
+                    # iteration-invariant: table replicated, per-band
+                    # chunk maps stacked one-band-per-device over "pp"
+                    rep = NamedSharding(ring_env["jmesh"], PartitionSpec())
+                    shd = NamedSharding(ring_env["jmesh"],
+                                        PartitionSpec("pp"))
+                    maps = tuple(
+                        jax.device_put(jnp.stack([b[k] for b in tile_r[2]]),
+                                       shd) for k in range(3))
+                    ring_env["tile_stacked"] = (
+                        jax.device_put(tile_r[1], rep),) + maps
+                key = (band_rows, dep_rows_shard, tile_r is not None)
                 if key not in ring_env:
                     raw = make_eye_pass(
                         self.camera, self.width, self.height,
                         self.max_bounces, self.photon_count,
                         dep_rows_shard, self.backend, grid_m=grid_m,
                         mesh=self.mesh, band_rows=band_rows,
-                        use_kernel=use_kernel, eff_bounces=eff_bounces)
+                        use_kernel=use_kernel, eff_bounces=eff_bounces,
+                        tile_static=tile_r[0] if tile_r else None)
                     ring_env[key] = PR.make_ring_eye_pass(
-                        raw, ring_env["jmesh"], self.height,
-                        band_rows)(dep_rows_shard)
+                        raw, ring_env["jmesh"], self.height, band_rows,
+                        with_tile=tile_r is not None)(dep_rows_shard)
                 stacked = PR.stack_sharded_grids(sub_grids,
                                                  ring_env["jmesh"])
                 futures.append(ring_env[key](
                     jnp.uint32(i * self.width * self.height),
                     jnp.float32(r), stacked, ring_env["consts"],
-                    ring_env["scene"]))
+                    ring_env["scene"],
+                    *ring_env.get("tile_stacked", ())))
             elif shard:
                 if band_rows not in shard_fns:
                     shard_fns[band_rows] = (jax.jit(eye_raw.walk),

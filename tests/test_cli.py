@@ -68,3 +68,16 @@ def test_ply_describe_cli(tmp_path, capsys):
     assert "format =" in stdout
     assert "element vertex (count 16)" in stdout
     assert "property" in stdout
+
+
+def test_shard_photon_map_flag_mapping():
+    """-shard-photon-map: absent -> off, bare -> host mode, ring -> ring."""
+    import argparse
+
+    from pathtracer_tpu.cli import _shard_mode, add_ppm_args
+
+    p = argparse.ArgumentParser()
+    add_ppm_args(p)
+    assert _shard_mode(p.parse_args([])) is False
+    assert _shard_mode(p.parse_args(["-shard-photon-map"])) is True
+    assert _shard_mode(p.parse_args(["-shard-photon-map", "ring"])) == "ring"

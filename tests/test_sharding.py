@@ -179,6 +179,38 @@ def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
     np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-6, rtol=1e-4)
 
 
+def test_ppm_ring_with_tile_primary_kernel(tmp_path):
+    """Ring mode with the tile-culled primary kernel INSIDE the shard_map:
+    the tile table rides replicated, the per-band chunk maps shard one
+    band per device (trailing dead bands pad the ring), and the kernel
+    runs in interpret mode on the CPU mesh. Must match the single-device
+    tile render up to the ring's flux reassociation."""
+    import os
+
+    from tools.make_test_mesh import uv_sphere
+    from pathtracer_tpu.io import ply
+    from pathtracer_tpu.models import ganesha
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    verts, faces = uv_sphere(10, 6, np.array([328.0, 60.0, 150.0]), 45.0)
+    path = os.path.join(str(tmp_path), "tiny_ganesha.ply")
+    ply.write_mesh(path, verts, faces)
+    imgs = []
+    # 2-device ring over a 32-row image: device 0's band covers the whole
+    # image, device 1 gets a min_bands-padded ALL-DEAD band (zero-chunk
+    # tile maps) — exercising the ring hop, the tile kernel inside
+    # shard_map, and the dead-band padding at 1/8 the 8-device cost
+    for shard, devs in ((False, jax.devices()[:1]),
+                        ("ring", jax.devices()[:2])):
+        scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
+        rend = PPMRenderer(scene, cam, lights, 64, 32, iterations=1,
+                           photon_count=1200, max_bounces=3, verbose=False,
+                           mesh=mesh, bbox_override=bbox, devices=devs,
+                           tile_primary=True, shard_photon_map=shard)
+        imgs.append(rend.render())
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6, rtol=1e-4)
+
+
 def test_sharded_mesh_scene_matches_single_device():
     """A triangle-mesh scene (the ganesha pattern) rendered through
     make_sharded_render_fn(scene_mesh=...): the mesh walk table and
