@@ -42,10 +42,12 @@ def make_ppm_mesh(devices) -> Mesh:
 
 def pad_deposits(per_dev, n_dev, devices):
     """Equalize per-device deposit row counts (ring hops need uniform
-    shapes): pad short deposit sets with ok=False rows, and give devices
-    that received no trace chunks an all-dead deposit set. Returns a list
-    of exactly n_dev (pos, nrm, flux, ok) tuples and the uniform row
-    count."""
+    shapes): pad short deposit sets with ok=False rows, give devices that
+    received no trace chunks an all-dead deposit set, and pin entry di to
+    devices[di] (a single-chunk photon trace leaves its deposits on the
+    DEFAULT device, which need not be devices[0] — stack_sharded_grids
+    requires exact placement). Returns a list of exactly n_dev
+    (pos, nrm, flux, ok) tuples and the uniform row count."""
     rows = max(o[0].shape[0] for o in per_dev)
     rows = max(rows, 1)
     out = []
@@ -59,6 +61,9 @@ def pad_deposits(per_dev, n_dev, devices):
                 nrm = jnp.concatenate([nrm, z3])
                 flux = jnp.concatenate([flux, z3])
                 ok = jnp.concatenate([ok, jnp.zeros((pad,), bool)])
+            if next(iter(pos.devices())) != devices[di]:
+                pos, nrm, flux, ok = (jax.device_put(x, devices[di])
+                                      for x in (pos, nrm, flux, ok))
         else:  # no chunks landed here: all-dead deposits
             z3 = jax.device_put(jnp.zeros((rows, 3), jnp.float32),
                                 devices[di])
@@ -85,11 +90,11 @@ def stack_sharded_grids(grids, jmesh: Mesh):
     return jax.tree.map(one, *grids)
 
 
-def make_ring_eye_pass(eye_raw, jmesh: Mesh, height: int, band_rows: int,
+def make_ring_eye_pass(eye_raw, jmesh: Mesh, band_rows: int,
                        with_tile: bool = False):
     """Build ring_pass(offset_base, radius, grid, mesh_consts, scene
-    [, tile_table, cs, ct, cf]) -> (n_dev*band_rows, W, 3) image (slice to
-    height on host).
+    [, tile_table, cs, ct, cf]) -> (n_dev*band_rows, W, 3) image (the
+    caller slices to the image height).
 
     eye_raw: the un-jitted product of ppm.make_eye_pass built with
     band_rows rows per device; its .walk/.finish/.make_gather stages are

@@ -254,8 +254,9 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         consts_dev = [consts]
         scene_dev = [scene]
 
-    def trace_photons(offset_base):
-        outs = []
+    def _dispatch_chunks(offset_base):
+        """Yield (device_index, trace_chunk output) for every chunk — the
+        single dispatch body shared by both aggregation modes."""
         for ci in range(n_chunks):
             di = ci % n_dev
             base = jnp.int32(ci * chunk)
@@ -263,8 +264,10 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             if n_dev > 1:
                 base = jax.device_put(base, devices[di])
                 ob = jax.device_put(ob, devices[di])
-            outs.append(trace_chunk(ob, base, consts_dev[di],
-                                    scene_dev[di]))
+            yield di, trace_chunk(ob, base, consts_dev[di], scene_dev[di])
+
+    def trace_photons(offset_base):
+        outs = [o for _, o in _dispatch_chunks(offset_base)]
         dev0 = jax.devices()[0]
         cat = tuple(jnp.concatenate(
             [jax.device_put(o[k], dev0) for o in outs], axis=1)[:, :lanes]
@@ -278,15 +281,8 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         size. Padding lanes past `total` carry dep_ok=False, so no trim is
         needed; the gather masks them."""
         outs = [[] for _ in range(n_dev)]
-        for ci in range(n_chunks):
-            di = ci % n_dev
-            base = jnp.int32(ci * chunk)
-            ob = jnp.uint32(offset_base)
-            if n_dev > 1:
-                base = jax.device_put(base, devices[di])
-                ob = jax.device_put(ob, devices[di])
-            outs[di].append(trace_chunk(ob, base, consts_dev[di],
-                                        scene_dev[di]))
+        for di, o in _dispatch_chunks(offset_base):
+            outs[di].append(o)
         per_dev = []
         for chunks_out in outs:
             if not chunks_out:
@@ -845,17 +841,22 @@ class PPMRenderer:
         gather_jits = {}  # dep_lanes -> jitted partial-flux gather
         ring_env = {}  # jmesh + replicated consts + compiled ring passes
 
-        def build_one_grid(pos, nrm, flux, ok, r):
+        def build_one_grid(pos, nrm, flux, ok, r, need_stats=True):
             """Build one (sub-)grid over the given deposits, on whatever
             device holds them (jnp ops follow committed inputs). Returns
             (grid, eff_bucket); eff_bucket drives band sizing for the
             lockstep hash gather (0.0 on the kernel tier, which sizes
-            bands by a fixed row count instead)."""
+            bands by a fixed row count instead, and when need_stats=False
+            — ring mode sizes bands from the device count, so paying 3
+            blocking host pulls per sub-grid would stall the dispatch
+            chain for an unused number)."""
             if use_kernel:
                 return _build_grid_morton_device(pos, nrm, flux, ok,
                                                  jnp.float32(r)), 0.0
             order, start, count = build_photon_grid(pos, ok, jnp.float32(r),
                                                     m=grid_m)
+            if not need_stats:
+                return (order, start, count, pos, nrm, flux, ok), 0.0
             max_bucket = max(1, int(count.max()))
             # the gather sorts lanes by candidate count and runs
             # lockstep chunks in sorted order, so a call's duration
@@ -895,7 +896,8 @@ class PPMRenderer:
                     from .parallel import ppm_ring as PR
                     per_dev, dep_rows_shard = PR.pad_deposits(
                         per_dev, len(devices), devices)
-                built = [build_one_grid(*o, r) for o in per_dev]
+                built = [build_one_grid(*o, r, need_stats=not ring)
+                         for o in per_dev]
                 sub_grids = [b[0] for b in built]
                 effs = [b[1] for b in built]
             else:
@@ -937,7 +939,11 @@ class PPMRenderer:
                 grids = [jax.device_put(grid, dev) for dev in devices]
             else:
                 grids = [grid]
-            if consts_dev is None:  # iteration-invariant: broadcast once
+            if consts_dev is None and not ring:
+                # iteration-invariant: broadcast once (the ring branch
+                # keeps its own replicated copies in ring_env and never
+                # reads consts_dev/scene_dev — building both would double
+                # the per-device footprint of the BVH table + scene)
                 mesh_consts = (self.mesh.device_consts()
                                if self.mesh is not None else None)
                 if len(devices) > 1:
@@ -988,7 +994,7 @@ class PPMRenderer:
                         use_kernel=use_kernel, eff_bounces=eff_bounces,
                         tile_static=tile_r[0] if tile_r else None)
                     ring_env[key] = PR.make_ring_eye_pass(
-                        raw, ring_env["jmesh"], self.height, band_rows,
+                        raw, ring_env["jmesh"], band_rows,
                         with_tile=tile_r is not None)(dep_rows_shard)
                 stacked = PR.stack_sharded_grids(sub_grids,
                                                  ring_env["jmesh"])

@@ -179,6 +179,22 @@ def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
     np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-6, rtol=1e-4)
 
 
+def test_ppm_ring_single_chunk_offset_devices():
+    """Regression: a photon budget small enough for ONE trace chunk leaves
+    deposits on the DEFAULT device; ring mode on a device list that does
+    not start at jax.devices()[0] must still place sub-grid 0 on its ring
+    device (pad_deposits pins placement)."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import PPMRenderer
+
+    scene, cam, lights = cornell.build(1.0)
+    img = PPMRenderer(scene, cam, lights, 32, 32, iterations=1,
+                      photon_count=512, max_bounces=2, verbose=False,
+                      devices=jax.devices()[1:3],
+                      shard_photon_map="ring").render()
+    assert np.isfinite(img).all() and float(np.abs(img).sum()) > 0
+
+
 def test_ppm_ring_with_tile_primary_kernel(tmp_path):
     """Ring mode with the tile-culled primary kernel INSIDE the shard_map:
     the tile table rides replicated, the per-band chunk maps shard one
