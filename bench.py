@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _wait_for_device(attempts=5, probe_timeout=180, retry_sleep=45):
+def _wait_for_device(attempts=8, probe_timeout=180, retry_sleep=60):
     """Device-availability watchdog: jax backend init through the TPU
     tunnel HANGS (not errors) while the tunnel is down, and the first
     jax.devices() in THIS process is uninterruptible — so probe in a
