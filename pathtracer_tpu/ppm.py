@@ -487,7 +487,8 @@ def make_eye_pass(camera: Camera, width: int, height: int,
                   max_bounces: int, photon_count: int, dep_lanes: int,
                   backend: str, grid_m: int = 1 << 17, dtype=jnp.float32,
                   mesh=None, band_rows: int = 64, use_kernel: bool = False,
-                  eff_bounces: int = None, tile_static: dict = None):
+                  eff_bounces: int = None, tile_static: dict = None,
+                  kernel_interpret: bool = False):
     """Build eye_pass(offset_base, radius, grid+deposits, row0) -> one
     `band_rows`-row band of a PPM iteration's contribution (scaled by
     1/photon_count). The driver loops bands as SEPARATE device calls — one
@@ -533,7 +534,8 @@ def make_eye_pass(camera: Camera, width: int, height: int,
         inv_perm = jnp.argsort(perm)
         flux = gk.gather_flux_pallas(point[perm], normal[perm],
                                      s_tab[:, perm], e_tab[:, perm],
-                                     photons_t, radius)
+                                     photons_t, radius,
+                                     interpret=kernel_interpret)
         return flux[inv_perm]
 
     if use_kernel:

@@ -179,6 +179,44 @@ def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
     np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-6, rtol=1e-4)
 
 
+def test_ppm_ring_kernel_gather_interpret():
+    """The POD production gather — the Pallas broadcast-gather over the
+    morton grid — executing INSIDE the ring shard_map (interpret mode on
+    the CPU mesh), ppermuting (photons_t, start, count, glo, cell)
+    sub-grids between hops. Must match the replicated hash-gather render
+    up to flux reassociation."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu import ppm as P
+    from pathtracer_tpu.parallel import ppm_ring as PR
+
+    scene, cam, lights = cornell.build(1.0)
+    W = H = 64
+    pc, mb = 2000, 3
+    base = P.PPMRenderer(scene, cam, lights, W, H, iterations=1,
+                         photon_count=pc, max_bounces=mb, verbose=False,
+                         devices=jax.devices()[:1])
+    want = base.render()
+    r = base.radius(1)
+
+    devices = jax.devices()
+    trace, total, dep_rows = P.make_photon_pass(
+        scene, lights, pc, mb, "xla", devices=devices)
+    per_dev = trace.sharded(jnp.uint32(0))
+    per_dev, rows = PR.pad_deposits(per_dev, len(devices), devices)
+    grids = [P._build_grid_morton_device(*o, jnp.float32(r))
+             for o in per_dev]
+    jmesh = PR.make_ppm_mesh(devices)
+    stacked = PR.stack_sharded_grids(grids, jmesh)
+    band_rows = H // len(devices)
+    raw = P.make_eye_pass(cam, W, H, mb, pc, rows, "xla",
+                          grid_m=P.grid_m_for(pc), band_rows=band_rows,
+                          use_kernel=True, kernel_interpret=True)
+    ring = PR.make_ring_eye_pass(raw, jmesh, band_rows)(rows)
+    img = ring(jnp.uint32(0), jnp.float32(r), stacked, None, scene)
+    got = np.asarray(img, np.float64)[:H][::-1]
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-4)
+
+
 def test_ppm_ring_single_chunk_offset_devices():
     """Regression: a photon budget small enough for ONE trace chunk leaves
     deposits on the DEFAULT device; ring mode on a device list that does
