@@ -64,8 +64,12 @@ def main():
     bench("v3.cross", lambda x: vec.normalize(x + 1e-9 * vec.cross(x, w)), v, n)
     bench("quaternion.mul",
           lambda x: quat.normalize(quat.mul(x, q0)), q0, n)
+    bench("quaternion.conj",
+          lambda x: quat.normalize(quat.mul(quat.conj(x), q0)), q0, n)
     bench("quaternion.rotate (omega_i)",
           lambda x: vec.normalize(x + 1e-9 * quat.rotate(q0, x)), v, n)
+    bench("quaternion.rotate_inv (world_ray)",
+          lambda x: vec.normalize(x + 1e-9 * quat.rotate_inv(q0, x)), v, n)
     bench("shader_space.create",
           lambda x: vec.normalize(x + 1e-9 * shading.shader_quat(
               vec.normalize(x))[:, 1:]), v, n)
