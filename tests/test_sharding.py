@@ -179,6 +179,38 @@ def test_ppm_sharded_photon_map_mesh_scene(tmp_path):
     np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-6, rtol=1e-4)
 
 
+def test_sharded_photon_trace_multi_chunk_per_device():
+    """trace_photons.sharded with MULTIPLE chunks per device (reachable in
+    production only past 131k lanes/device — forced here via a small
+    lanes_per_call): every valid deposit of the replicated trace must
+    appear exactly once across the per-device concatenations."""
+    from pathtracer_tpu.models import cornell
+    from pathtracer_tpu.ppm import make_photon_pass
+
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(photon_count=9000, max_bounces=2, backend="xla",
+              lanes_per_call=1024)
+    trace_a, total, _ = make_photon_pass(scene, lights,
+                                         devices=jax.devices()[:1], **kw)
+    trace_b, _, _ = make_photon_pass(scene, lights, devices=jax.devices(),
+                                     **kw)
+    pos_a, _, flux_a, ok_a = trace_a(jnp.uint32(0))
+    per_dev = trace_b.sharded(jnp.uint32(0))
+    # 9 chunks over 8 devices: device 0 must hold 2 chunks of deposits
+    # (2 bounces x 1024 lanes each) — the path under test
+    assert max(o[0].shape[0] for o in per_dev) == 2 * 2 * 1024
+    rows_a = np.concatenate([np.asarray(pos_a)[np.asarray(ok_a)],
+                             np.asarray(flux_a)[np.asarray(ok_a)]], axis=1)
+    rows_b = np.concatenate(
+        [np.concatenate([np.asarray(p)[np.asarray(ok)],
+                         np.asarray(f)[np.asarray(ok)]], axis=1)
+         for (p, n, f, ok) in per_dev])
+    assert rows_a.shape == rows_b.shape
+    order_a = np.lexsort(rows_a.T)
+    order_b = np.lexsort(rows_b.T)
+    np.testing.assert_array_equal(rows_a[order_a], rows_b[order_b])
+
+
 def test_ppm_ring_kernel_gather_interpret():
     """The POD production gather — the Pallas broadcast-gather over the
     morton grid — executing INSIDE the ring shard_map (interpret mode on
