@@ -90,6 +90,42 @@ def stack_sharded_grids(grids, jmesh: Mesh):
     return jax.tree.map(one, *grids)
 
 
+def make_ring_photon_grid(trace_body, flatten, chunk: int, jmesh: Mesh,
+                          grid_build):
+    """ONE shard_map traces each device's photon chunk AND builds its
+    sub-grid in-place: ring_trace(offset_base, radius, mesh_consts,
+    scene) -> grid pytree with a leading device axis sharded over "pp" —
+    exactly the stacked layout make_ring_eye_pass consumes. Requires one
+    trace chunk per device (make_photon_pass sizes chunks that way up to
+    131k lanes/device; past that the renderer falls back to the
+    host-orchestrated trace + pad_deposits + stack_sharded_grids path).
+    With make_ring_eye_pass this makes a full PPM iteration exactly two
+    device programs with zero host photon traffic.
+
+    trace_body/flatten/chunk: the un-jitted chunk tracer and deposit
+    flattener exposed by ppm.make_photon_pass. grid_build(pos, nrm, flux,
+    ok, radius) -> grid tuple (hash or morton/kernel tier)."""
+    n_dev = jmesh.shape["pp"]
+
+    @partial(shard_map, mesh=jmesh,
+             in_specs=(P(), P("pp"), P(), P(), P()), out_specs=P("pp"),
+             check_vma=False)
+    def body(offset_base, lane_bases, radius, mesh_consts, scene):
+        dep = trace_body(offset_base, lane_bases[0], mesh_consts or None,
+                         scene)
+        pos, nrm, flux, ok = flatten(dep)
+        grid = grid_build(pos, nrm, flux, ok, radius)
+        return jax.tree.map(lambda x: x[None], grid)  # (1,...) per shard
+
+    @jax.jit
+    def ring_trace(offset_base, radius, mesh_consts, scene):
+        lane_bases = jnp.arange(n_dev, dtype=jnp.int32) * chunk
+        return body(offset_base, lane_bases, radius, mesh_consts or {},
+                    scene)
+
+    return ring_trace
+
+
 def make_ring_eye_pass(eye_raw, jmesh: Mesh, band_rows: int,
                        with_tile: bool = False):
     """Build ring_pass(offset_base, radius, grid, mesh_consts, scene

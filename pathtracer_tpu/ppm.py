@@ -162,8 +162,7 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
     # argument for the same reason.
     consts = mesh.device_consts() if mesh is not None else None
 
-    @jax.jit
-    def trace_chunk(offset_base, lane_base, mesh_consts, scene_t):
+    def trace_chunk_body(offset_base, lane_base, mesh_consts, scene_t):
         hit_setup = make_intersector(scene_t, backend, mesh=mesh)
         # iota INSIDE the trace: a closed-over device iota is an MLIR
         # constant too (the single biggest one measured)
@@ -232,6 +231,7 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         # an unchunked call (bit-equal photon maps however work is split)
         return dep_pos, dep_nrm, dep_flux, dep_ok
 
+    trace_chunk = jax.jit(trace_chunk_body)
     dep_rows = lanes * max_bounces
 
     def flatten(o):
@@ -243,6 +243,8 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             offset_base, jnp.int32(0), consts, scene))
         one_chunk._trace_chunk = trace_chunk  # AOT phase diagnostics
         one_chunk.sharded = lambda offset_base: [one_chunk(offset_base)]
+        one_chunk.body, one_chunk.flatten = trace_chunk_body, flatten
+        one_chunk.chunk, one_chunk.n_chunks = chunk, n_chunks
         return one_chunk, total, dep_rows
 
     if n_dev > 1:
@@ -294,6 +296,8 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
 
     trace_photons._trace_chunk = trace_chunk  # AOT phase diagnostics
     trace_photons.sharded = trace_photons_sharded
+    trace_photons.body, trace_photons.flatten = trace_chunk_body, flatten
+    trace_photons.chunk, trace_photons.n_chunks = chunk, n_chunks
     return trace_photons, total, dep_rows
 
 
@@ -842,6 +846,39 @@ class PPMRenderer:
         shard_fns = {}  # band_rows -> (walk_jit, finish_jit)
         gather_jits = {}  # dep_lanes -> jitted partial-flux gather
         ring_env = {}  # jmesh + replicated consts + compiled ring passes
+        ring_full = False
+        if ring:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from .parallel import ppm_ring as PR
+
+            ring_env["jmesh"] = PR.make_ppm_mesh(devices)
+            rep = NamedSharding(ring_env["jmesh"], PartitionSpec())
+            _mc = (self.mesh.device_consts()
+                   if self.mesh is not None else None)
+            ring_env["consts"] = (jax.device_put(_mc, rep)
+                                  if _mc is not None else None)
+            ring_env["scene"] = jax.device_put(self.scene, rep)
+            # at most one trace chunk per device -> the photon trace AND
+            # the sub-grid build fuse into ONE shard_map program (devices
+            # past the chunk count trace all-dead lanes); a full
+            # iteration is then exactly two device programs with zero
+            # host photon traffic. Larger budgets (>131k lanes/device)
+            # fall back to host-orchestrated chunks + pad + stack.
+            ring_full = trace_photons.n_chunks <= len(devices)
+            if ring_full:
+                def _ring_grid_build(pos, nrm, flux, ok, rr):
+                    if use_kernel:
+                        return _build_grid_morton_device(pos, nrm, flux,
+                                                         ok, rr)
+                    order, start, count = build_photon_grid(pos, ok, rr,
+                                                            m=grid_m)
+                    return (order, start, count, pos, nrm, flux, ok)
+
+                ring_env["trace"] = PR.make_ring_photon_grid(
+                    trace_photons.body, trace_photons.flatten,
+                    trace_photons.chunk, ring_env["jmesh"],
+                    _ring_grid_build)
 
         def build_one_grid(pos, nrm, flux, ok, r, need_stats=True):
             """Build one (sub-)grid over the given deposits, on whatever
@@ -876,7 +913,14 @@ class PPMRenderer:
             r = self.radius(i + 1)
             if self.verbose:
                 print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
-            if shard:
+            if ring_full:
+                # photon trace + sub-grid build fused in one shard_map;
+                # the output is already the pp-stacked grid pytree
+                stacked = ring_env["trace"](
+                    jnp.uint32(i * self.photon_count), jnp.float32(r),
+                    ring_env["consts"], ring_env["scene"])
+                dep_rows_shard = trace_photons.chunk * self.max_bounces
+            elif shard:
                 per_dev = trace_photons.sharded(
                     jnp.uint32(i * self.photon_count))
             else:
@@ -884,20 +928,24 @@ class PPMRenderer:
                     jnp.uint32(i * self.photon_count))
             if self.phase_cb is not None:
                 self.phase_cb("photon_trace",
+                              stacked if ring_full else
                               per_dev if shard else (pos, nrm, flux, ok))
             if self.verbose:
                 # the length pull is a host sync — only pay it when the
                 # telemetry is actually printed (quiet production runs keep
                 # the photon->grid->eye chain one uninterrupted dispatch)
-                n_photons = (sum(int(o[3].sum()) for o in per_dev) if shard
-                             else int(ok.sum()))
+                n_photons = (
+                    int(stacked[2].sum()) if ring_full  # cell count table
+                    else sum(int(o[3].sum()) for o in per_dev) if shard
+                    else int(ok.sum()))
                 print(f"  photon map length = {n_photons} "
                       f"({time.monotonic() - t_iter:.2f}s)", flush=True)
-            if shard:
-                if ring:
-                    from .parallel import ppm_ring as PR
-                    per_dev, dep_rows_shard = PR.pad_deposits(
-                        per_dev, len(devices), devices)
+            if ring_full:
+                pass  # grids already built in-program
+            elif shard:
+                per_dev, dep_rows_shard = PR.pad_deposits(
+                    per_dev, len(devices), devices) if ring \
+                    else (per_dev, None)
                 built = [build_one_grid(*o, r, need_stats=not ring)
                          for o in per_dev]
                 sub_grids = [b[0] for b in built]
@@ -923,7 +971,9 @@ class PPMRenderer:
                     band_rows *= 2
                 band_rows = min(band_rows, self.height)
             if self.phase_cb is not None:
-                self.phase_cb("grid_build", sub_grids if shard else grid)
+                self.phase_cb("grid_build",
+                              stacked if ring_full else
+                              sub_grids if shard else grid)
             n_bands = -(-self.height // band_rows)
             eye_fn = eye_raw = None
             if not ring:
@@ -966,14 +1016,6 @@ class PPMRenderer:
             futures = []
             if ring:
                 from jax.sharding import NamedSharding, PartitionSpec
-                if "jmesh" not in ring_env:
-                    ring_env["jmesh"] = PR.make_ppm_mesh(devices)
-                    rep = NamedSharding(ring_env["jmesh"], PartitionSpec())
-                    mc = (self.mesh.device_consts()
-                          if self.mesh is not None else None)
-                    ring_env["consts"] = (jax.device_put(mc, rep)
-                                          if mc is not None else None)
-                    ring_env["scene"] = jax.device_put(self.scene, rep)
                 tile_r = get_tile(band_rows, min_bands=len(devices))
                 if tile_r is not None and "tile_stacked" not in ring_env:
                     # iteration-invariant: table replicated, per-band
@@ -998,8 +1040,9 @@ class PPMRenderer:
                     ring_env[key] = PR.make_ring_eye_pass(
                         raw, ring_env["jmesh"], band_rows,
                         with_tile=tile_r is not None)(dep_rows_shard)
-                stacked = PR.stack_sharded_grids(sub_grids,
-                                                 ring_env["jmesh"])
+                if not ring_full:  # host-traced fallback: stack sub-grids
+                    stacked = PR.stack_sharded_grids(sub_grids,
+                                                     ring_env["jmesh"])
                 futures.append(ring_env[key](
                     jnp.uint32(i * self.width * self.height),
                     jnp.float32(r), stacked, ring_env["consts"],
