@@ -29,12 +29,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _wait_for_device(attempts=8, probe_timeout=180, retry_sleep=60):
+def _wait_for_device(attempts=3, probe_timeout=90, retry_sleep=20):
     """Device-availability watchdog: jax backend init through the TPU
     tunnel HANGS (not errors) while the tunnel is down, and the first
     jax.devices() in THIS process is uninterruptible — so probe in a
-    killable subprocess and only proceed once a probe succeeds. Converts
-    an infinite bench hang into a bounded, loud failure."""
+    killable subprocess and only proceed once a probe succeeds.
+
+    Geometry matters: the round-3 capture was lost because 8 probes x
+    (180 s + 60 s) ~= 32 min of silent waiting exceeded the driver's
+    patience (rc=124, no output). A dead tunnel must instead fail FAST
+    (<6 min worst case) and LOUD: emit one parseable JSON line with an
+    "error" field on stdout so the captured artifact is never empty."""
     for attempt in range(attempts):
         try:
             p = subprocess.run(
@@ -47,12 +52,34 @@ def _wait_for_device(attempts=8, probe_timeout=180, retry_sleep=60):
             msg = f"probe hung >{probe_timeout}s (tunnel down?)"
         print(f"# device probe {attempt + 1}/{attempts}: {msg}",
               file=sys.stderr)
-        time.sleep(retry_sleep)
-    print("# no usable jax device; bench aborted", file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(retry_sleep)
+    print(json.dumps({
+        "metric": "shirley_600x300_spp32_b8_mrays_per_sec",
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        "error": "no usable jax device (TPU tunnel down); bench aborted",
+    }))
     sys.exit(1)
 
 
 def main():
+    # Hard wall: if the tunnel dies MID-run, device calls hang rather
+    # than error. Bound the whole bench so the driver always gets a
+    # parseable line for every phase that did not complete in time.
+    import signal
+
+    def _on_alarm(signum, frame):
+        print(json.dumps({
+            "metric": "bench_wall_watchdog", "value": 0.0, "unit": "s",
+            "vs_baseline": 0.0,
+            "error": "bench exceeded wall budget (tunnel hang mid-run?)",
+        }))
+        sys.stdout.flush()
+        import os
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(2400)  # cold-cache compiles alone are ~7 min/PPM scene
     _wait_for_device()
     for attempt in range(3):
         try:
@@ -93,6 +120,11 @@ def _run_ppm(which: str):
     t_box = [None]
 
     def cb(i, img_sum):
+        # with device-side film accumulation img_sum is a device array and
+        # the host loop runs ahead of the device — sync so each recorded
+        # iteration time reflects actual device completion
+        if img_sum is not None and not isinstance(img_sum, np.ndarray):
+            jax.block_until_ready(img_sum)
         now = time.perf_counter()
         if t_box[0] is not None:
             times.append(now - t_box[0])
@@ -118,6 +150,26 @@ def _run_ppm(which: str):
     print(f"# {which}: iters={len(times)} times="
           f"{[round(t, 2) for t in times]} total={total:.1f}s",
           file=sys.stderr)
+    if which == "ganesha" and getattr(r, "iter_segments", None):
+        # north-star accounting (BASELINE.md): a gather-bound PPM scene's
+        # throughput in the same Mrays/s units as the headline — segments
+        # actually traced (photon bounce-loop iterations + one primary/pixel
+        # for the all-diffuse mesh) per steady-iteration second. vs_baseline
+        # uses the same 62.5 Mrays/s-per-chip share as the headline so the
+        # structural gap of photon-map gathers is stated, not hidden.
+        ph, eye = r.iter_segments[-1]
+        if ph is not None and eye is not None:
+            segs = sum(int(jax.device_get(s)) for s in ph) + eye
+            mrays = segs / steady / 1e6
+            n_chips = len(jax.devices())
+            print(json.dumps({
+                "metric": "ganesha_600x600_75k_b4_mrays_per_sec",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / (62.5 * n_chips), 4),
+            }))
+            print(f"# ganesha segments/iter: photon={segs - eye} eye={eye}",
+                  file=sys.stderr)
 
 
 def _run():

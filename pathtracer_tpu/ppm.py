@@ -176,6 +176,10 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
 
         def bounce_body(carry, b):
             org, d, flux, alive = carry
+            # ray segments actually traced this bounce (BASELINE.md's
+            # honest counting: dead lanes are not rays) — the reference's
+            # photon loop bounces exactly this many times, ppm.ml:218-257
+            segs_b = jnp.sum(alive.astype(jnp.int32))
             u = sampler.get_dyn(offs, 2 + 2 * b)
             v = sampler.get_dyn(offs, 3 + 2 * b)
             h = hit_setup(org, d, alive, mesh_consts)
@@ -221,26 +225,31 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
             org = vec.where3(alive, new_org, org)
             d = vec.where3(alive, dir_world, d)
             flux = jnp.where(alive[..., None], f_new, flux)
-            return (org, d, flux, alive), (h["point"], h["normal"], f_dep, dep)
+            return (org, d, flux, alive), (h["point"], h["normal"], f_dep,
+                                           dep, segs_b)
 
-        _, (dep_pos, dep_nrm, dep_flux, dep_ok) = jax.lax.scan(
+        _, (dep_pos, dep_nrm, dep_flux, dep_ok, segs_pb) = jax.lax.scan(
             bounce_body, (org, d, flux, alive),
             jnp.arange(max_bounces, dtype=jnp.int32))
         # keep the (bounce, lane) axes separate: chunked calls concatenate
         # on the LANE axis so the flattened deposit order is identical to
         # an unchunked call (bit-equal photon maps however work is split)
-        return dep_pos, dep_nrm, dep_flux, dep_ok
+        return dep_pos, dep_nrm, dep_flux, dep_ok, jnp.sum(segs_pb)
 
     trace_chunk = jax.jit(trace_chunk_body)
     dep_rows = lanes * max_bounces
 
     def flatten(o):
+        # ignores trailing non-deposit outputs (the segment counter)
         return tuple(x.reshape(-1, 3) if x.ndim == 3 else x.reshape(-1)
-                     for x in o)
+                     for x in o[:4])
 
     if n_chunks == 1:
-        one_chunk = lambda offset_base: flatten(trace_chunk(
-            offset_base, jnp.int32(0), consts, scene))
+        def one_chunk(offset_base):
+            out = trace_chunk(offset_base, jnp.int32(0), consts, scene)
+            # device scalar list, fetched lazily by telemetry/bench
+            one_chunk.last_segments = [out[4]]
+            return flatten(out)
         one_chunk._trace_chunk = trace_chunk  # AOT phase diagnostics
         one_chunk.sharded = lambda offset_base: [one_chunk(offset_base)]
         one_chunk.body, one_chunk.flatten = trace_chunk_body, flatten
@@ -271,6 +280,9 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
     def trace_photons(offset_base):
         outs = [o for _, o in _dispatch_chunks(offset_base)]
         dev0 = jax.devices()[0]
+        # device scalars, NOT synced here (a host pull would stall the
+        # photon->grid->eye dispatch chain); consumers sum lazily
+        trace_photons.last_segments = [o[4] for o in outs]
         cat = tuple(jnp.concatenate(
             [jax.device_put(o[k], dev0) for o in outs], axis=1)[:, :lanes]
             for k in range(4))
@@ -283,8 +295,11 @@ def make_photon_pass(scene: Scene, lights, photon_count: int, max_bounces: int,
         size. Padding lanes past `total` carry dep_ok=False, so no trim is
         needed; the gather masks them."""
         outs = [[] for _ in range(n_dev)]
+        segs = []
         for di, o in _dispatch_chunks(offset_base):
             outs[di].append(o)
+            segs.append(o[4])
+        trace_photons.last_segments = segs
         per_dev = []
         for chunks_out in outs:
             if not chunks_out:
@@ -313,14 +328,22 @@ def _cell_hash(ix, iy, iz, m):
     return (h & jnp.int32(0x7FFFFFFF)) % jnp.int32(m)
 
 
-def grid_m_for(photon_count: int) -> int:
-    """Hash-bucket count sized from the photon count: the smallest power
-    of two >= 2x photons (clamped to [2^17, 2^22]) keeps the mean bucket
-    load ~constant as -photon-count grows — the reference accepts
-    arbitrary photon counts (progressive_photon_map.ml:163-278) and its
-    BVH gather scales with photon density, not a fixed table size."""
+def grid_m_for(photon_count: int, n_dev: int = 1) -> int:
+    """Hash-bucket count sized from the PER-DEVICE photon count: the
+    smallest power of two >= 2x photons (clamped to [2^17, 2^24]) keeps
+    the mean bucket load ~constant as -photon-count grows — the
+    reference accepts arbitrary photon counts
+    (progressive_photon_map.ml:163-278) and its BVH gather scales with
+    photon density, not a fixed table size.
+
+    n_dev > 1 (sharded/ring photon map): each device's sub-grid indexes
+    only ~1/n_dev of the photons, so the table shrinks with the mesh and
+    -photon-count can grow 8x at constant per-chip table memory. The cap
+    costs two int32 tables = 128 MiB HBM at 2^24, reached only past ~8M
+    photons/device where the deposit arrays (~40 B/deposit) dominate."""
+    per_dev = -(-photon_count // max(1, n_dev))
     m = 1 << 17
-    while m < 2 * photon_count and m < (1 << 22):
+    while m < 2 * per_dev and m < (1 << 24):
         m *= 2
     return m
 
@@ -415,12 +438,18 @@ def hash_gather(point, normal, active, radius, grid, grid_m,
     # Dedupe colliding buckets: two DIFFERENT neighbor cells can hash to
     # the same bucket, and walking that bucket twice double-counts every
     # photon in range (the distance test passes both times). Keep only
-    # the first visit of each bucket per lane.
-    for k in range(1, 27):
-        dup = jnp.zeros(hkeys.shape[0], bool)
-        for j in range(k):
-            dup = dup | (hkeys[:, j] == hkeys[:, k])
-        c_tab = c_tab.at[:, k].set(jnp.where(dup, 0, c_tab[:, k]))
+    # the first visit of each bucket per lane: stable-sort each lane's 27
+    # keys, zero all-but-first of every equal run, scatter the mask back.
+    # (Stability makes "first of run" = lowest original slot, identical to
+    # the previous O(27^2) pairwise loop but ~6x fewer traced ops.)
+    lane_k = jnp.broadcast_to(jnp.arange(27, dtype=jnp.int32), hkeys.shape)
+    sk, sidx = jax.lax.sort_key_val(hkeys, lane_k, dimension=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((hkeys.shape[0], 1), bool), sk[:, 1:] == sk[:, :-1]],
+        axis=1)
+    rows = jnp.arange(hkeys.shape[0], dtype=jnp.int32)[:, None]
+    dup = jnp.zeros(hkeys.shape, bool).at[rows, sidx].set(dup_sorted)
+    c_tab = jnp.where(dup, 0, c_tab)
     cost = jnp.sum(c_tab, axis=1)
     perm = jnp.argsort(jnp.where(active, cost, -1))
     inv_perm = jnp.argsort(perm)
@@ -770,7 +799,9 @@ class PPMRenderer:
         eff_bounces = (1 if scene_all_diffuse(self.scene, self.mesh)
                        else self.max_bounces)
 
-        grid_m = grid_m_for(self.photon_count)
+        _n_dev_grid = (len(self.devices or jax.devices())
+                       if self.shard_photon_map else 1)
+        grid_m = grid_m_for(self.photon_count, _n_dev_grid)
 
         # tile-culled primary kernel: replaces the mesh-BVH walk for the
         # whole eye pass when the scan is one bounce (all-diffuse scenes);
@@ -830,6 +861,7 @@ class PPMRenderer:
             return eye_passes[band_rows]
         img_sum = np.zeros((self.height, self.width, 3), np.float64)
         start_iter = 0
+        img_comp = None  # device-path Kahan compensation term
         if checkpoint_path is not None and os.path.exists(checkpoint_path):
             ck = np.load(checkpoint_path)
             if (ck["img_sum"].shape == img_sum.shape
@@ -843,6 +875,28 @@ class PPMRenderer:
         devices = self.devices or jax.devices()
         shard = bool(self.shard_photon_map) and len(devices) > 1
         ring = (self.shard_photon_map == "ring") and len(devices) > 1
+        # Device-side film accumulation: when nothing on the host consumes
+        # the running image every iteration (no per-iteration PNG rewrite,
+        # no checkpoint file), the per-iteration device->host stitch pull
+        # (~4.3 MB through the tunnel; measured 0.26-0.49 s/iter on
+        # hardware, tools/proto_ppm_iter_phases) is pure waste — accumulate
+        # on device (Kahan-compensated f32: x64 is off, so the host path's
+        # f64 sum isn't representable on device; compensation keeps the
+        # iteration-sum error far below the RMSE budget) and pull once at
+        # the end. checkpoint_cb then receives the DEVICE array.
+        dev_accum = (output is None and checkpoint_path is None
+                     and not self.verbose and len(devices) == 1
+                     and not ring and not shard and start_iter == 0)
+        if dev_accum:
+            img_sum = jnp.zeros((self.height, self.width, 3), jnp.float32)
+            img_comp = jnp.zeros_like(img_sum)
+
+            @jax.jit
+            def _accum_bands(s, c, *bands):
+                band = jnp.concatenate(bands)[:self.height][::-1]
+                y = band - c
+                t = s + y
+                return t, (t - s) - y
         shard_fns = {}  # band_rows -> (walk_jit, finish_jit)
         gather_jits = {}  # dep_lanes -> jitted partial-flux gather
         ring_env = {}  # jmesh + replicated consts + compiled ring passes
@@ -908,6 +962,12 @@ class PPMRenderer:
             eff_bucket = min(float(max_bucket), 4.0 * mean_bucket + 32.0)
             return (order, start, count, pos, nrm, flux, ok), eff_bucket
 
+        # per-iteration (photon_segments, eye_segments) for the Mrays/s
+        # accounting (BASELINE.md "north-star" section). photon = list of
+        # lazy device scalars; eye is exact only for all-diffuse scenes
+        # (one primary segment per pixel — the walk never continues,
+        # ppm.ml:330-343), else None (specular walks aren't instrumented).
+        self.iter_segments = []
         for i in range(start_iter, self.iterations):
             t_iter = time.monotonic()
             r = self.radius(i + 1)
@@ -1106,9 +1166,12 @@ class PPMRenderer:
                     futures.append(eye_fn(*args))
             if self.phase_cb is not None:
                 self.phase_cb("bands_dispatched", futures)
-            img = np.concatenate([np.asarray(b, np.float64)
-                                  for b in futures])[:self.height]
-            img_sum += img[::-1]  # reference writes row (height-1-y)
+            if dev_accum:
+                img_sum, img_comp = _accum_bands(img_sum, img_comp, *futures)
+            else:
+                img = np.concatenate([np.asarray(b, np.float64)
+                                      for b in futures])[:self.height]
+                img_sum += img[::-1]  # reference writes row (height-1-y)
             if self.phase_cb is not None:
                 self.phase_cb("stitch", None)
             if self.verbose:
@@ -1125,6 +1188,11 @@ class PPMRenderer:
                          photon_count=self.photon_count, alpha=self.alpha)
                 os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""),
                            checkpoint_path)
+            self.iter_segments.append(
+                (getattr(trace_photons, "last_segments", None),
+                 self.width * self.height if eff_bounces == 1 else None))
             if checkpoint_cb is not None:
                 checkpoint_cb(i, img_sum)
+        if dev_accum:
+            return np.asarray(img_sum, np.float64)
         return img_sum

@@ -66,6 +66,20 @@ def test_ppm_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
 
 
+def test_device_film_accum_matches_host_f64():
+    """The device-side Kahan-f32 film accumulator (engaged when no host
+    consumer needs the per-iteration image) must match the host float64
+    stitch path to f32-rounding accuracy over several iterations."""
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=3, photon_count=1200, max_bounces=4)
+    dev = PPMRenderer(scene, cam, lights, 32, 32, verbose=False,
+                      **kw).render()
+    host = PPMRenderer(scene, cam, lights, 32, 32, verbose=True,
+                       **kw).render()
+    assert dev.dtype == np.float64 and host.dtype == np.float64
+    np.testing.assert_allclose(dev, host, atol=5e-6, rtol=1e-5)
+
+
 def test_scene_all_diffuse_detection():
     """The static eye-scan cap must only engage for specular-free scenes:
     cornell has metal+glass (full specular walk), the ganesha mesh is all
