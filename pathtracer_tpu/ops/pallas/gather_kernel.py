@@ -173,6 +173,14 @@ def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
 
             get_dma(slot, ci).wait()
             c = c0 + ci * CH
+            # Dead-chunk skip: the streamed range is the UNION over lanes
+            # whose [s, e) ranges can sit far apart in raster order when a
+            # block straddles a Morton discontinuity — measured (tools/
+            # proto_gather_stream) ~89% of chunks contain no photon any
+            # lane needs. The DMA still streams every chunk (8 KB, trivial
+            # bandwidth, keeps the double buffer simple); only the
+            # 128-photon broadcast loop (~2560 VPU ops) is skipped.
+            live = jnp.any((s < c + CH) & (e > c))
 
             def photon_body(j, accs):
                 a0, a1, a2 = accs
@@ -191,7 +199,9 @@ def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
                         a1 + wf * scratch[slot, 7, j],
                         a2 + wf * scratch[slot, 8, j])
 
-            return lax.fori_loop(0, CH, photon_body, accs)
+            return lax.cond(
+                live, lambda a: lax.fori_loop(0, CH, photon_body, a),
+                lambda a: a, accs)
 
         acc = lax.fori_loop(0, n_chunks, chunk_body, acc)
 
