@@ -39,7 +39,10 @@ def _enable_compilation_cache():
             d = loc or os.path.expanduser("~/.cache/pathtracer_tpu/jax")
             os.makedirs(d, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", d)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            # 1 s threshold: the film filter/finalize programs compile in
+            # 1.4-3.9 s each and were re-compiled EVERY process at the old
+            # 5 s cutoff (a constant ~5.5 s tail on every CLI render)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
