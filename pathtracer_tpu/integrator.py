@@ -340,7 +340,9 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
     # ~0.3us of work. Revisit for scenes with >= tens of thousands of
     # primitives where clusters can be hundreds wide.
     tables = sk.pack_spheres_pallas(scene.center, scene.radius, scene.valid)
-    pack_t = scene.shade_pack.T  # (16, S)
+    # packed material table (10, S): the per-bounce winner gather streams
+    # 10 planes instead of the 16 raw shade_pack columns
+    pack_t = shk.pack_material_tables(scene.shade_pack)
     bg_mode, bg_colors = background.pallas_params
     bg_colors = jnp.asarray(bg_colors, jnp.float32)
 
@@ -368,10 +370,9 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
         at, idx = sk.intersect_state_pallas(
             tables, state, interpret=interpret,
             origin_zero=(origin_zero and bounce == 0), block_lists=bl)
-        pk_rows = pack_t[:, idx]
         du, dv = 2 + 2 * bounce, 3 + 2 * bounce
         limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
-        st2, rad_new = shk.shade_pallas(state, pk_rows, off_rows, at,
+        st2, rad_new = shk.shade_pallas(state, pack_t, idx, off_rows, at,
                                         limbs, bg_colors, rad_in=rad_t,
                                         bg_mode=bg_mode,
                                         interpret=interpret)

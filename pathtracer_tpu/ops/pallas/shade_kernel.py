@@ -1,7 +1,7 @@
 """Pallas TPU kernel: the full per-bounce shading stage.
 
 Companion to sphere_kernel: after the intersection kernel selects a winner
-and XLA gathers its 16 material columns, this kernel runs everything else —
+and XLA gathers its material columns, this kernel runs everything else —
 stable-t recomputation, hit point/normal, spherical uv (polynomial
 atan2/acos: Mosaic has no acos/atan lowering), checker/solid texture,
 tangent-frame quaternion, the fixed-point LDS draws, the three-material
@@ -10,9 +10,19 @@ exit for dead tiles. This removes the XLA-side per-bounce elementwise
 pipeline and most of its HBM round-trips (the state arrays are read/written
 exactly once per bounce here).
 
+The gathered material payload is PACKED to 10 planes (7 f32 geometry +
+3 uint32 with u15/u16 fixed-point albedo and the kind bits) instead of the
+16 raw f32 shade_pack columns: the per-bounce pipeline is HBM-streaming
+bound, and the gather's write+read round trip is the single largest stream
+(16 planes = ~25 MB at the canonical config's full wavefront). u15 albedo
+quantization error is 1.5e-5 — three orders under the 1e-3 RMSE budget.
+ior_inv is recomputed in-kernel as 1/ior (one VPU divide) rather than
+gathered.
+
 Math is identical to integrator.trace's XLA path (itself mirroring
-material.ml / shader_space.ml / sphere.ml); the only approximation is the
-polynomial atan (~1e-7 rad), which feeds only texture uv.
+material.ml / shader_space.ml / sphere.ml); the approximations are the
+polynomial atan (~1e-7 rad, feeds only texture uv) and the albedo
+quantization above.
 """
 
 from __future__ import annotations
@@ -94,7 +104,53 @@ def _lds(offset_u32, hi, lo):
     return jnp.minimum(s, np.float32(1.0 - 2.0 ** -24))
 
 
-def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
+PK_PLANES = 10  # 7 f32 geometry + 3 bit-packed (u32 bitcast to f32)
+_Q15 = 32767.0
+_Q16 = 65535.0
+
+
+def pack_material_tables(shade_pack):
+    """(S, 16) f32 shade_pack -> ONE (10, Sq, 128) f32 packed table,
+    Sq = ceil(S/128), entry s at [:, s//128, s%128].
+
+    The winner's columns are gathered IN-KERNEL from this VMEM-resident
+    table by Mosaic lane shuffles (take_along_axis within each 128-wide
+    slice + a select over slices) — an XLA-side gather costs ~0.4 ms/bounce
+    of fixed op overhead on the v5e chip regardless of payload width, which
+    was the single largest glue cost left in the bounce loop.
+
+    Planes 0-6: cx, cy, cz, radius, ior, checker_w, checker_h — full f32
+    (the stable-t recompute needs exact geometry; checker scales are
+    integral in every committed scene and stay exact as f32).
+    Planes 7-9 are uint32 words BITCAST to f32 (shuffles and selects move
+    bits untouched, so NaN-aliasing patterns are safe):
+          u0 = ca0_u15 | ca1_u15<<15 | mat_k<<30
+          u1 = ca2_u15 | cb0_u15<<15 | tex_k<<30
+          u2 = cb1_u16 | cb2_u16<<16
+    Albedos are clamped to [0, 1] (the reference's textures are reflectance
+    colors, texture.ml:20-31); u15 quantization error is <=1.5e-5."""
+    pk = shade_pack
+
+    def q(col, scale):
+        return jnp.round(jnp.clip(pk[:, col], 0.0, 1.0)
+                         * scale).astype(jnp.uint32)
+
+    u0 = q(6, _Q15) | (q(7, _Q15) << 15) | (pk[:, 4].astype(jnp.uint32) << 30)
+    u1 = q(8, _Q15) | (q(9, _Q15) << 15) | (pk[:, 5].astype(jnp.uint32) << 30)
+    u2 = q(10, _Q16) | (q(11, _Q16) << 16)
+    bc = lambda u: jax.lax.bitcast_convert_type(u, jnp.float32)
+    tab = jnp.stack([pk[:, 0], pk[:, 1], pk[:, 2], pk[:, 3],
+                     pk[:, 14], pk[:, 12], pk[:, 13],
+                     bc(u0), bc(u1), bc(u2)])
+    s = tab.shape[1]
+    pad = (-s) % 128
+    if pad:
+        tab = jnp.concatenate([tab, jnp.zeros((PK_PLANES, pad), tab.dtype)],
+                              axis=1)
+    return tab.reshape(PK_PLANES, -1, 128)
+
+
+def _kernel(limb_ref, bg_ref, tab_ref, st_ref, idx_ref, off_ref, at_ref_in,
             rad_in_ref, out_st_ref, rad_ref, *, bg_mode):
     alive = st_ref[9]
     any_alive = jnp.max(alive) > 0.0
@@ -114,12 +170,44 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
         a_q = d0 * d0 + d1 * d1 + d2 * d2
         inv_a = 1.0 / a_q
 
-        cx, cy, cz, rad_s = pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3]
-        mat_k, tex_k = pk_ref[4], pk_ref[5]
-        ca0, ca1, ca2 = pk_ref[6], pk_ref[7], pk_ref[8]
-        cb0, cb1, cb2 = pk_ref[9], pk_ref[10], pk_ref[11]
-        cw, ch = pk_ref[12], pk_ref[13]
-        ior, ior_inv = pk_ref[14], pk_ref[15]
+        # in-register winner gather: the (10, Sq, 128) packed table is
+        # VMEM-resident; each lane pulls its winner's 10 values with a
+        # lane shuffle per 128-wide slice + a select over slices. This
+        # replaces the XLA pk gather between the kernels (~0.4 ms/bounce
+        # of fixed op cost at any payload width).
+        idx = idx_ref[:]
+        blk = idx.shape
+        qi = jax.lax.shift_right_logical(idx, 7)
+        r = idx & jnp.int32(127)
+        n_sl = tab_ref.shape[1]
+        pk = []
+        for p in range(10):
+            acc = jnp.zeros(blk, jnp.float32)
+            for qslice in range(n_sl):
+                row = jnp.broadcast_to(tab_ref[p, qslice, :][None, :], blk)
+                g = jnp.take_along_axis(row, r, axis=1)
+                acc = jnp.where(qi == qslice, g, acc) if n_sl > 1 else g
+            pk.append(acc)
+
+        cx, cy, cz, rad_s = pk[0], pk[1], pk[2], pk[3]
+        ior, cw, ch = pk[4], pk[5], pk[6]
+        ior_inv = 1.0 / jnp.maximum(ior, np.float32(1e-30))
+        ubc = lambda p: jax.lax.bitcast_convert_type(p, jnp.uint32)
+        u0, u1, u2 = ubc(pk[7]), ubc(pk[8]), ubc(pk[9])
+        m15 = jnp.uint32(0x7FFF)
+        c15 = np.float32(1.0 / _Q15)
+        c16 = np.float32(1.0 / _Q16)
+
+        def f15(u):  # low-15-bits fixed point -> f32 (Mosaic: via int32)
+            return (u & m15).astype(jnp.int32).astype(jnp.float32) * c15
+
+        ca0, ca1 = f15(u0), f15(u0 >> 15)
+        ca2, cb0 = f15(u1), f15(u1 >> 15)
+        cb1 = ((u2 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+               .astype(jnp.float32) * c16)
+        cb2 = (u2 >> 16).astype(jnp.int32).astype(jnp.float32) * c16
+        mat_u = u0 >> 30
+        tex_u = u1 >> 30
 
         # stable t (sphere.ml:35-54) from the winner's params
         f0, f1, f2 = cx - o0, cy - o1, cz - o2
@@ -152,7 +240,7 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
         pxp = jnp.trunc(u_t * cw).astype(jnp.int32) & 1
         pyp = jnp.trunc(v_t * ch).astype(jnp.int32) & 1
         even = pxp == pyp
-        is_check = tex_k == 1.0
+        is_check = tex_u == jnp.uint32(1)
         alb0 = jnp.where(is_check & ~even, cb0, ca0)
         alb1 = jnp.where(is_check & ~even, cb1, ca1)
         alb2 = jnp.where(is_check & ~even, cb2, ca2)
@@ -230,8 +318,8 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
         die1 = jnp.where(do_refl, met1, pe1)
         die2 = jnp.where(do_refl, met2, pe2 + para)
 
-        is_met = mat_k == 1.0
-        is_die = mat_k == 2.0
+        is_met = mat_u == jnp.uint32(1)
+        is_die = mat_u == jnp.uint32(2)
         wo0 = jnp.where(is_die, die0, jnp.where(is_met, met0, lam0))
         wo1 = jnp.where(is_die, die1, jnp.where(is_met, met1, lam1))
         wo2 = jnp.where(is_die, die2, jnp.where(is_met, met2, lam2))
@@ -277,13 +365,16 @@ def _kernel(limb_ref, bg_ref, st_ref, pk_ref, off_ref, at_ref_in,
 
 
 @functools.partial(jax.jit, static_argnames=("bg_mode", "interpret"))
-def shade_pallas(state_rows, pk_rows, off_rows, at_rows, limbs, bg_colors,
-                 rad_in=None, bg_mode=1, interpret=False):
+def shade_pallas(state_rows, pack_table, idx_rows, off_rows, at_rows, limbs,
+                 bg_colors, rad_in=None, bg_mode=1, interpret=False):
     """Run the shading stage for one bounce, all in (lead, rows, LANES)
-    layout: state_rows (10,...) [org3, dir3, attn3, alive]; pk_rows (16,...)
-    gathered material columns; off_rows (rows, LANES) uint32 offsets;
-    at_rows (rows, LANES) the intersection kernel's a*t key (BIG = miss);
-    limbs: (2, 2) uint32 [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3);
+    layout: state_rows (10,...) [org3, dir3, attn3, alive]; pack_table
+    (10, Sq, 128) f32 packed material table (pack_material_tables) —
+    whole-table VMEM resident, winner gather happens in-kernel; idx_rows
+    (rows, LANES) int32 the intersection kernel's winner index; off_rows
+    (rows, LANES) uint32 offsets; at_rows (rows, LANES) the intersection
+    kernel's a*t key (BIG = miss); limbs: (2, 2) uint32
+    [[u_hi, u_lo], [v_hi, v_lo]]; bg_colors: (2, 3);
     rad_in (3, rows, LANES): the radiance accumulator, updated in place
     (miss radiance is added IN-KERNEL so dead blocks skip the add).
     Returns (new_state (10, rows, LANES), rad (3, rows, LANES)).
@@ -300,17 +391,21 @@ def shade_pallas(state_rows, pk_rows, off_rows, at_rows, limbs, bg_colors,
 
     lane_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(pack_table.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
     out_st, rad = pl.pallas_call(
         functools.partial(_kernel, bg_mode=bg_mode),
         grid=(rows // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  spec3(10), spec3(16), lane_spec, lane_spec, spec3(3)],
+                  tab_spec, spec3(10),
+                  lane_spec, lane_spec, lane_spec, spec3(3)],
         out_specs=(spec3(10), spec3(3)),
         out_shape=(jax.ShapeDtypeStruct((10, rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32)),
         # update state and the radiance accumulator in place
-        input_output_aliases={2: 0, 6: 1},
+        input_output_aliases={3: 0, 7: 1},
         interpret=interpret,
-    )(limbs, bg_colors, state_rows, pk_rows, off_rows, at_rows, rad_in)
+    )(limbs, bg_colors, pack_table, state_rows, idx_rows, off_rows, at_rows,
+      rad_in)
     return out_st, rad

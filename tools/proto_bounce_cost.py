@@ -45,7 +45,7 @@ def main():
     rad = jnp.zeros((3, rows, sk.LANES), jnp.float32)
 
     tables = sk.pack_spheres_pallas(scene.center, scene.radius, scene.valid)
-    pack_t = scene.shade_pack.T
+    pack_t = shk.pack_material_tables(scene.shade_pack)
     sampler = Sampler(2 + 2 * 8)
     hi = np.asarray(sampler.hi)
     lo = np.asarray(sampler.lo)
@@ -65,15 +65,26 @@ def main():
             return st
         return fn
 
+    def isect_gather(B):
+        @jax.jit
+        def fn(st):
+            def body(c, _):
+                at, idx = sk.intersect_state_pallas(tables, c)
+                pk = pack_t[:, :, idx & 127]
+                c = c.at[9].mul(jnp.sign(at) * jnp.sign(pk[3, 0] + 1.0))
+                return c, None
+            st, _ = lax.scan(body, st, None, length=B)
+            return st
+        return fn
+
     def full_bounce(B):
         @jax.jit
         def fn(st, rd):
             def body(c, _):
                 st_, rd_ = c
                 at, idx = sk.intersect_state_pallas(tables, st_)
-                pk = pack_t[:, idx]
-                st2, rd2 = shk.shade_pallas(st_, pk, off, at, limbs,
-                                            bg_colors, rad_in=rd_,
+                st2, rd2 = shk.shade_pallas(st_, pack_t, idx, off, at,
+                                            limbs, bg_colors, rad_in=rd_,
                                             bg_mode=bg_mode)
                 return (st2, rd2), None
             (st, rd), _ = lax.scan(body, (st, rd), None, length=B)
@@ -112,23 +123,22 @@ def main():
             return s
         return fn
 
-    def marginal(make, lo, hi, *args):
+    def marginal(make, lo, hi, *args, reps=20):
         f_lo, f_hi = make(lo), make(hi)
-        best = 1e30
-        for _ in range(3):
-            t_lo = timeit(f_lo, *args)
-            t_hi = timeit(f_hi, *args)
-            best = min(best, (t_hi - t_lo) / (hi - lo))
-        return best, t_lo
+        t_lo = min(timeit(f_lo, *args, reps=reps) for _ in range(3))
+        t_hi = min(timeit(f_hi, *args, reps=reps) for _ in range(3))
+        return (t_hi - t_lo) / (hi - lo), t_lo
 
-    m_i, _ = marginal(isect_only, 4, 20, state)
-    m_iz, _ = marginal(lambda B: isect_only(B, True), 4, 20, state)
-    m_f, _ = marginal(full_bounce, 4, 20, state, rad)
+    m_i, _ = marginal(isect_only, 4, 36, state)
+    m_iz, _ = marginal(lambda B: isect_only(B, True), 4, 36, state)
+    m_ig, _ = marginal(isect_gather, 4, 36, state)
+    m_f, _ = marginal(full_bounce, 4, 36, state, rad)
     m_c, _ = marginal(compaction, 1, 9, state)
     m_s, _ = marginal(switch_toll, 1, 9, state)
     print(f"lanes={n} blocks={rows // 8}  (marginal per-op costs)")
     print(f"intersect bounce        : {m_i * 1e3:7.3f} ms")
     print(f"intersect bounce (oz)   : {m_iz * 1e3:7.3f} ms")
+    print(f"intersect + pk gather   : {m_ig * 1e3:7.3f} ms")
     print(f"full bounce (i+g+shade) : {m_f * 1e3:7.3f} ms")
     print(f"compaction              : {m_c * 1e3:7.3f} ms")
     print(f"lax.switch toll         : {m_s * 1e3:7.3f} ms")
