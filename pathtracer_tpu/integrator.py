@@ -668,7 +668,11 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             return band_pass_fn
 
         def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None,
-                          mesh_consts=None, block_lists=None):
+                          mesh_consts=None, block_lists=None, raw=False):
+            """raw=True: return radiance in flat tile-major order (the trace
+            layout) so a pass loop can accumulate across passes WITHOUT a
+            per-pass untile transpose — callers untile the SUM once (see
+            make_render_fn; tiled_pass_fn.untile)."""
             pass_idx = jnp.asarray(pass_idx)
             lead = pass_idx.shape
             poff = (pass_idx.astype(jnp.uint32) * np.uint32(spp)).reshape(
@@ -690,8 +694,12 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
             if lead:
                 rad = jnp.sum(rad, axis=0)
+            if raw:
+                return rad, segs
             return untile(rad), segs
 
+        tiled_pass_fn.untile = untile
+        tiled_pass_fn.raw_shape = (tyn * txn * TILE * TILE, 3)
         return tiled_pass_fn
 
     def pass_fn(scene: SphereScene, pass_idx, row_ids=None,
@@ -779,21 +787,31 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
         chains = 2 if (spp // pb) % 2 == 0 else 1
     steps = spp // pb // chains
 
+    # tiled pass_fns expose a raw (flat tile-major) output + an untile
+    # closure: accumulate the film sum in that layout across the scan and
+    # untile ONCE at the end instead of paying a per-pass transpose
+    untile = getattr(pass_fn, "untile", None)
+
     @jax.jit
     def render_impl(scene: SphereScene, mesh_consts, block_lists):
         def body(sums, p_mat):
             total = sums
             segs = jnp.zeros((), jnp.int32)
             for k in range(chains):
+                kw = {"raw": True} if untile is not None else {}
                 s, g = pass_fn(scene, p_mat[k] if pb > 1 else p_mat[k, 0],
                                mesh_consts=mesh_consts,
-                               block_lists=block_lists)
+                               block_lists=block_lists, **kw)
                 total = total + s
                 segs = segs + g
             return total, segs
 
-        sums, segs = lax.scan(body, jnp.zeros((height, width, 3), dtype),
+        init = (jnp.zeros(pass_fn.raw_shape, dtype) if untile is not None
+                else jnp.zeros((height, width, 3), dtype))
+        sums, segs = lax.scan(body, init,
                               jnp.arange(spp).reshape(steps, chains, pb))
+        if untile is not None:
+            sums = untile(sums)
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
         return img, jnp.sum(segs)
 

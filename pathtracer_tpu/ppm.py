@@ -555,20 +555,22 @@ def make_eye_pass(camera: Camera, width: int, height: int,
                                dep_lanes=dep_lanes)
 
     def gather_kernel(point, normal, active, radius, grid):
-        """Pallas broadcast-gather (ops/pallas/gather_kernel.py): hits
-        sorted by cell Morton key for block coherence, photons streamed
-        through SMEM once per block instead of gathered per lane."""
+        """Pallas adaptive chunk-bbox gather (ops/pallas/gather_kernel.py):
+        hits sorted by Morton key over their own bbox for block coherence;
+        each block streams only the Morton-sorted 128-photon chunks whose
+        bbox intersects its hit bbox expanded by r. No grid-resolution
+        limit — the density-adaptive answer to the reference's photon BVH
+        point query (progressive_photon_map.ml:163-278)."""
         from .ops.pallas import gather_kernel as gk
 
-        photons_t, start_t, count_t, glo, cell = grid
-        s_tab, e_tab, own_key = gk.query_tables(point, active, glo, cell,
-                                                start_t, count_t)
-        perm = jnp.argsort(jnp.where(active, own_key, jnp.int32(1 << 30)))
+        photons_t, cbq, qparams = grid
+        key = gk.hit_morton_keys(point, active)
+        perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
-        flux = gk.gather_flux_pallas(point[perm], normal[perm],
-                                     s_tab[:, perm], e_tab[:, perm],
-                                     photons_t, radius,
-                                     interpret=kernel_interpret)
+        flux = gk.gather_flux_chunks_pallas(point[perm], normal[perm],
+                                            active[perm], cbq, qparams,
+                                            photons_t, radius,
+                                            interpret=kernel_interpret)
         return flux[inv_perm]
 
     if use_kernel:
@@ -923,8 +925,8 @@ class PPMRenderer:
             if ring_full:
                 def _ring_grid_build(pos, nrm, flux, ok, rr):
                     if use_kernel:
-                        return _build_grid_morton_device(pos, nrm, flux,
-                                                         ok, rr)
+                        from .ops.pallas import gather_kernel as gk
+                        return gk.build_photon_chunks(pos, nrm, flux, ok)
                     order, start, count = build_photon_grid(pos, ok, rr,
                                                             m=grid_m)
                     return (order, start, count, pos, nrm, flux, ok)
@@ -944,8 +946,8 @@ class PPMRenderer:
             blocking host pulls per sub-grid would stall the dispatch
             chain for an unused number)."""
             if use_kernel:
-                return _build_grid_morton_device(pos, nrm, flux, ok,
-                                                 jnp.float32(r)), 0.0
+                from .ops.pallas import gather_kernel as gk
+                return gk.build_photon_chunks(pos, nrm, flux, ok), 0.0
             order, start, count = build_photon_grid(pos, ok, jnp.float32(r),
                                                     m=grid_m)
             if not need_stats:

@@ -105,6 +105,70 @@ def test_hash_gather_dedupes_colliding_buckets():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_chunk_gather_matches_bruteforce():
+    """The adaptive chunk-bbox gather (production tier) vs the brute-force
+    oracle — including far outlier photons, which break the dense raster
+    grid's cell sizing (ganesha's lit floor spreads deposits over ~9,600
+    units) but are exactly what the chunk bboxes prune."""
+    rng = np.random.default_rng(0)
+    r = 0.06
+    n_hits, n_pho = 2048, 3000
+    _, point, normal, active, pos, nrm, flux, valid = _setup(
+        rng, n_hits, n_pho, r)
+    pos = pos.copy()
+    pos[::17] += 40.0  # sparse far outliers stretch the deposit bbox
+    tbl, cbq, qp = gk.build_photon_chunks(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid))
+    got = np.asarray(gk.gather_flux_chunks_pallas(
+        jnp.asarray(point), jnp.asarray(normal), jnp.asarray(active),
+        cbq, qp, tbl, np.float32(r), interpret=True))
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    assert (got[~active] == 0.0).all()
+
+
+def test_chunk_gather_hits_near_outliers():
+    """Hits placed next to the far outlier photons must still gather them
+    (the chunk design has no grid boundary to fall off)."""
+    rng = np.random.default_rng(2)
+    r = 0.08
+    n_hits, n_pho = 1024, 2000
+    _, point, normal, active, pos, nrm, flux, valid = _setup(
+        rng, n_hits, n_pho, r)
+    pos = pos.copy()
+    pos[:50] += 40.0
+    point = point.copy()
+    point[:100] = pos[:50].repeat(2, axis=0) + rng.standard_normal(
+        (100, 3)).astype(np.float32) * (r / 4)
+    tbl, cbq, qp = gk.build_photon_chunks(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid))
+    got = np.asarray(gk.gather_flux_chunks_pallas(
+        jnp.asarray(point), jnp.asarray(normal), jnp.asarray(active),
+        cbq, qp, tbl, np.float32(r), interpret=True))
+    want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    assert want[:100][active[:100]].sum() > 0  # oracle sees the outliers
+
+
+def test_chunk_gather_no_valid_photons():
+    """All-invalid deposits: every chunk bbox is inverted, no block streams
+    anything, every lane returns zero."""
+    rng = np.random.default_rng(4)
+    r = 0.06
+    _, point, normal, active, pos, nrm, flux, _ = _setup(
+        rng, 1024, 500, r)
+    valid = np.zeros(500, bool)
+    tbl, cbq, qp = gk.build_photon_chunks(
+        jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
+        jnp.asarray(valid))
+    got = np.asarray(gk.gather_flux_chunks_pallas(
+        jnp.asarray(point), jnp.asarray(normal), jnp.asarray(active),
+        cbq, qp, tbl, np.float32(r), interpret=True))
+    assert (got == 0.0).all()
+
+
 def test_gather_kernel_hit_outside_grid():
     """Eye hits outside the deposit bbox (e.g. the lit floor's far reaches)
     must gather nothing rather than alias into boundary cells."""

@@ -212,11 +212,10 @@ def test_sharded_photon_trace_multi_chunk_per_device():
 
 
 def test_ppm_ring_kernel_gather_interpret():
-    """The POD production gather — the Pallas broadcast-gather over the
-    morton grid — executing INSIDE the ring shard_map (interpret mode on
-    the CPU mesh), ppermuting (photons_t, start, count, glo, cell)
-    sub-grids between hops. Must match the replicated hash-gather render
-    up to flux reassociation."""
+    """The POD production gather — the Pallas adaptive chunk-bbox gather —
+    executing INSIDE the ring shard_map (interpret mode on the CPU mesh),
+    ppermuting (photons_t, cbq, qparams) sub-grids between hops. Must
+    match the replicated hash-gather render up to flux reassociation."""
     from pathtracer_tpu.models import cornell
     from pathtracer_tpu import ppm as P
     from pathtracer_tpu.parallel import ppm_ring as PR
@@ -235,8 +234,8 @@ def test_ppm_ring_kernel_gather_interpret():
         scene, lights, pc, mb, "xla", devices=devices)
     per_dev = trace.sharded(jnp.uint32(0))
     per_dev, rows = PR.pad_deposits(per_dev, len(devices), devices)
-    grids = [P._build_grid_morton_device(*o, jnp.float32(r))
-             for o in per_dev]
+    from pathtracer_tpu.ops.pallas import gather_kernel as gk
+    grids = [gk.build_photon_chunks(*o) for o in per_dev]
     jmesh = PR.make_ppm_mesh(devices)
     stacked = PR.stack_sharded_grids(grids, jmesh)
     band_rows = H // len(devices)
