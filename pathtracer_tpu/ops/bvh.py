@@ -19,6 +19,8 @@ shrinking t_max (shape_tree.ml:212-216).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -708,7 +710,7 @@ def _mt_update(org, d, rows, rows_i, a_sl, e1_sl, e2_sl, idx_col, best,
 
 
 def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
-                         done, default_caps=(64, 0)):
+                         done, default_caps=(64, 0), default_chunk=512):
     """The chunked + coherence-sorted + capped-multi-pass walk driver,
     shared by the binary-octant and BVH4 traversers (the two differ only
     in per-step row interpretation). See make_mesh_traverser_octant's
@@ -720,13 +722,21 @@ def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
         hit = t < jnp.minimum(t_max0, BIG)
         return t, u, v, idx, hit
 
-    def intersect(org, d, t_max0=None, active=None, chunk=512, table=None,
+    def intersect(org, d, t_max0=None, active=None, chunk=None, table=None,
                   caps=None):
         n = org.shape[0]
         if t_max0 is None:
             t_max0 = jnp.full((n,), BIG)
         if active is None:
             active = jnp.ones((n,), bool)
+        if chunk is None:
+            chunk = default_chunk
+        env_chunk = os.environ.get("PATHTRACER_WALK_CHUNK")
+        if env_chunk:  # on-hardware sweep knob; malformed values ignored
+            try:
+                chunk = max(0, int(env_chunk))
+            except ValueError:
+                pass
         if caps is None:
             caps = _default_walk_caps(default_caps)
         if not caps or caps[-1] != 0:
@@ -895,8 +905,12 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
         state, _ = lax.while_loop(cond, body_k, (state, jnp.int32(0)))
         return state
 
+    # chunk=1024 measured 135 ms/photon-pass vs 512's 202 on the v5e chip
+    # (tools/sweep_photon_walk.py, ganesha 75k photons b=4; caps sweep:
+    # (24,0)=135, (32,0)=144, (16,0)/(48,0)=151-153, chunk 2048=139)
     return _chunked_walk_driver(init_state, walk_pass, key_fn,
-                                table_default, done, default_caps=(24, 0))
+                                table_default, done, default_caps=(24, 0),
+                                default_chunk=1024)
 
 
 def make_mesh_traverser_bvh4(table_np, node_end, stride, root_lo, root_hi):
