@@ -1025,6 +1025,14 @@ class PPMRenderer:
                 # 256 rows on caustic-dense cornell iterations), so bands
                 # are large to amortize the ~30 ms per-call dispatch
                 band_rows = min(256, self.height)
+                env_band = os.environ.get("PATHTRACER_PPM_BAND_ROWS")
+                if env_band:  # on-hardware sweep knob
+                    try:
+                        band_rows = min(max(32, int(env_band)), self.height)
+                    except ValueError:
+                        pass
+                if use_tile:
+                    band_rows = -(-band_rows // 32) * 32
             else:
                 eff_bucket = max(effs)
                 rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
