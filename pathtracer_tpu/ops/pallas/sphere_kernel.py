@@ -341,7 +341,7 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres,
         # a = |d|^2 = 1 within one ulp: the selection key drops the /a and
         # *a terms (the stable t in the shade kernel keeps exact a handling)
 
-        unroll = 16
+        unroll = 64
 
         def one(s, best_at, best_idx):
             cx = sph_ref[0, s]
