@@ -217,31 +217,36 @@ def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
 # extent ~11 vs r=0.035) run at cell/r up to ~500, streaming whole cells of
 # photons that almost all fail the radius test. The adaptive design below has
 # NO resolution limit: photons sort by a 30-bit Morton code over their own
-# bbox, each 128-photon chunk gets a conservative position bbox, and a block
-# streams exactly the chunks whose bbox intersects its own hit bbox expanded
-# by r. The per-photon d^2 < r^2 test is the exact membership test (the cell
-# machinery was only ever a candidate filter), so any conservative chunk
-# superset is correct. This is the TPU answer to the reference's ADAPTIVE
-# photon BVH (progressive_photon_map.ml:163-278 reusing shape_tree.ml:222-231
-# as a point-radius index): density-adaptive pruning, block granularity.
+# bbox and every 32-photon SUB-CHUNK gets an exact f32 bbox. The candidate
+# filter runs OUTSIDE the kernel: per 1024-hit block, XLA computes the
+# surviving 128-photon DMA chunks (any overlapping sub-chunk) and packs each
+# survivor as `chunk_idx | sub_mask << 26` into a per-block list. The kernel
+# then just walks its list — no scalar survivor scan, exact prefetch
+# targeting, and the 4-bit sub-mask skips 32-photon quarters whose bbox
+# misses the block (measured ~45-66% of streamed photons at cornell/ganesha
+# densities). The per-photon d^2 < r^2 test is the exact membership test
+# (boxes were only ever a candidate filter), so any conservative superset is
+# correct and skipping never changes the sum (skipped photons contribute an
+# exact +0.0). This is the TPU answer to the reference's ADAPTIVE photon BVH
+# (progressive_photon_map.ml:163-278 reusing shape_tree.ml:222-231 as a
+# point-radius index): density-adaptive pruning at block granularity.
 # ---------------------------------------------------------------------------
 
-CHB = 128  # photons per bbox chunk
-_QBITS = 8  # chunk bboxes quantized to u8 cells over the deposit bbox
+CHB = 128   # photons per DMA chunk
+SUB = 32    # photons per bbox sub-chunk (4 per DMA chunk)
+_MASK_SHIFT = 26  # list word = chunk_idx | sub_mask << 26
 
 
 @jax.jit
 def build_photon_chunks(pos, nrm, flux, valid):
     """Sort valid deposits by 30-bit Morton code over their own bbox and
-    build conservative per-chunk bboxes, quantized to u8 grid cells.
+    build EXACT f32 bboxes per 32-photon sub-chunk.
 
     Radius-independent (r enters only at query time). Returns
       photons_t: (16, Np_pad) f32 [pos3, nrm3, flux3, pad] — invalid
                  deposits carry +BIG positions (fail any radius test);
-      cbq: (2, n_chunks) int32 — word0 = lo_x | lo_y<<8 | lo_z<<16,
-           word1 likewise for hi (conservative: lo floored, hi ceiled);
-      qparams: (8,) f32 [glo3, inv_cq3, pad2] — the u8 cell transform
-               (x_q = (x - glo) * inv_cq, clamped to [0, 255])."""
+      sbox: (6, n_sub) f32 [lo3, hi3] per sub-chunk; empty sub-chunks are
+            inverted (lo=+BIG > hi=-BIG) so they never overlap anything."""
     npho = pos.shape[0]
     big = np.float32(3.0e38)
     posm = jnp.where(valid[:, None], pos, big)
@@ -261,190 +266,196 @@ def build_photon_chunks(pos, nrm, flux, valid):
     tbl = tbl.at[3:6, :npho].set(nrm[order].T)
     tbl = tbl.at[6:9, :npho].set(flux[order].T)
 
-    # chunk bboxes over the VALID members only (masked pad/invalid = +big
-    # already; for hi use -big so empty chunks get inverted boxes)
+    # exact sub-chunk bboxes over the VALID members only (masked pad/
+    # invalid = +big already; for hi use -big so empty subs get inverted
+    # boxes that overlap nothing)
     vs = valid[order]
     pv_lo = jnp.full((np_pad, 3), big).at[:npho].set(posm[order])
     pv_hi = jnp.full((np_pad, 3), -big).at[:npho].set(
         jnp.where(vs[:, None], pos[order], -big))
-    n_chunks = np_pad // CHB
-    c_lo = jnp.min(pv_lo.reshape(n_chunks, CHB, 3), axis=1)  # (C, 3)
-    c_hi = jnp.max(pv_hi.reshape(n_chunks, CHB, 3), axis=1)
-    # quantize conservatively to u8 cells of the deposit bbox
-    cq = ext * np.float32(1.0 / 255.0)
-    inv_cq = np.float32(255.0) / ext
-    ql = jnp.clip(jnp.floor((c_lo - glo[None, :]) * inv_cq[None, :]),
-                  0, 255).astype(jnp.int32)
-    qh = jnp.clip(jnp.ceil((c_hi - glo[None, :]) * inv_cq[None, :]),
-                  0, 255).astype(jnp.int32)
-    # empty chunks: keep them inverted (lo=255 > hi=0) so no block streams
-    empty = (c_lo[:, 0] > c_hi[:, 0])
-    ql = jnp.where(empty[:, None], 255, ql)
-    qh = jnp.where(empty[:, None], 0, qh)
-    w_lo = ql[:, 0] | (ql[:, 1] << 8) | (ql[:, 2] << 16)
-    w_hi = qh[:, 0] | (qh[:, 1] << 8) | (qh[:, 2] << 16)
-    cbq = jnp.stack([w_lo, w_hi])  # (2, C)
-    qparams = jnp.concatenate([glo, inv_cq, jnp.zeros((2,), jnp.float32)])
-    del cq
-    return tbl, cbq, qparams
+    n_sub = np_pad // SUB
+    s_lo = jnp.min(pv_lo.reshape(n_sub, SUB, 3), axis=1)  # (n_sub, 3)
+    s_hi = jnp.max(pv_hi.reshape(n_sub, SUB, 3), axis=1)
+    sbox = jnp.concatenate([s_lo.T, s_hi.T])  # (6, n_sub)
+    return tbl, sbox
 
 
-def _kernel_chunks(r_ref, qp_ref, cb_ref, hits_ref, photons_hbm, out_ref,
-                   scratch, sem):
+def block_chunk_lists(point, active, sbox, radius):
+    """XLA-side candidate filter: per 1024-hit block, the ascending list of
+    surviving 128-photon chunks, each packed with its 4-bit live-sub mask.
+    point (n, 3) must already be Morton-sorted; n % 1024 == 0.
+    Returns (lists (nblk, C) i32, counts (nblk,) i32)."""
+    n = point.shape[0]
+    nblk = n // (BLOCK_ROWS * LANES)
+    n_sub = sbox.shape[1]
+    n_chunks = n_sub // (CHB // SUB)
+    big = np.float32(3.0e38)
+    pr = point.reshape(nblk, BLOCK_ROWS * LANES, 3)
+    am = active.reshape(nblk, BLOCK_ROWS * LANES, 1)
+    # r is padded a hair so f32 rounding of (min - r) can never exclude a
+    # photon at distance just under r (its contribution would be ~ulp-sized
+    # anyway, but conservativeness is free here)
+    r_pad = radius * np.float32(1.000002) + np.float32(1e-30)
+    blo = jnp.min(jnp.where(am, pr, big), axis=1) - r_pad   # (nblk, 3)
+    bhi = jnp.max(jnp.where(am, pr, -big), axis=1) + r_pad
+    ov = jnp.ones((nblk, n_sub), bool)
+    for ax in range(3):
+        ov &= (sbox[3 + ax][None, :] >= blo[:, ax:ax + 1]) \
+            & (sbox[ax][None, :] <= bhi[:, ax:ax + 1])
+    ov &= am[:, :, 0].any(axis=1)[:, None]
+    subs = ov.reshape(nblk, n_chunks, CHB // SUB)
+    mask = jnp.sum(jnp.where(
+        subs, jnp.int32(1) << jnp.arange(CHB // SUB, dtype=jnp.int32), 0),
+        axis=2)
+    live = mask > 0
+    ci = jnp.broadcast_to(jnp.arange(n_chunks, dtype=jnp.int32),
+                          (nblk, n_chunks))
+    words = ci | (mask << _MASK_SHIFT)
+    key = jnp.where(live, ci, jnp.int32(1 << 30))
+    _, lists = lax.sort_key_val(key, words, dimension=1)
+    counts = jnp.sum(live, axis=1).astype(jnp.int32)
+    return lists, counts
+
+
+def _kernel_chunks(cnt_ref, r_ref, hits_ref, lists_hbm, photons_hbm,
+                   out_ref, scratch, lsc, sem, lsem):
     """hits_ref: (7, BLOCK_ROWS, LANES) = [point3, normal3, active].
-    Per block: conservative hit bbox (masked cross-lane reduces) expanded
-    by r, quantized to the same u8 cells as the chunk bboxes; the chunk
-    loop's scalar overlap test streams only intersecting chunks. The
-    chunk loop double-buffers by prefetching the NEXT SURVIVING chunk
-    while the current one is broadcast (the survivor scan is scalar-core
-    work that overlaps the VPU loop)."""
+    cnt_ref (nblk,) is a scalar-prefetch SMEM ref; this block's survivor
+    list row (lists_hbm, from block_chunk_lists; too big for SMEM whole)
+    is DMAed into the lsc SMEM scratch first. Walks the list: DMA chunk
+    list[k+1] while processing list[k] (double buffer), and per chunk run
+    only the 32-photon sub-loops whose mask bit is set — each sub
+    statically unrolled (loop overhead measured ~23% of the old
+    per-photon fori_loop)."""
+    blk = pl.program_id(0)
     act = hits_ref[6] > 0.0
-    any_act = jnp.max(hits_ref[6]) > 0.0
+    cnt = cnt_ref[blk]
     zero = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
     out_ref[0], out_ref[1], out_ref[2] = zero, zero, zero
 
-    @pl.when(any_act)
+    @pl.when(cnt > 0)
     def _run():
         x, y, z = hits_ref[0], hits_ref[1], hits_ref[2]
         nx, ny, nz = hits_ref[3], hits_ref[4], hits_ref[5]
         r = r_ref[0, 0]
         inv_r = 1.0 / r
         r2 = r * r
-        big = np.float32(3.0e38)
+        cmask = jnp.int32((1 << _MASK_SHIFT) - 1)
 
-        def mmin(v):
-            return jnp.min(jnp.where(act, v, big))
+        c_pad = lsc.shape[0]
+        loff = pl.multiple_of(blk * c_pad, 1024)
+        lcopy = pltpu.make_async_copy(lists_hbm.at[pl.ds(loff, c_pad)],
+                                      lsc, lsem)
+        lcopy.start()
 
-        def mmax(v):
-            return jnp.max(jnp.where(act, v, -big))
-
-        glo0, glo1, glo2 = qp_ref[0, 0], qp_ref[0, 1], qp_ref[0, 2]
-        icq0, icq1, icq2 = qp_ref[0, 3], qp_ref[0, 4], qp_ref[0, 5]
-
-        def q_lo(v, glo, icq):  # conservative floor, clamped
-            return jnp.clip(jnp.floor((v - glo) * icq),
-                            np.float32(0.0), np.float32(255.0)).astype(
-                jnp.int32)
-
-        def q_hi(v, glo, icq):
-            return jnp.clip(jnp.ceil((v - glo) * icq),
-                            np.float32(0.0), np.float32(255.0)).astype(
-                jnp.int32)
-
-        bl0 = q_lo(mmin(x) - r, glo0, icq0)
-        bl1 = q_lo(mmin(y) - r, glo1, icq1)
-        bl2 = q_lo(mmin(z) - r, glo2, icq2)
-        bh0 = q_hi(mmax(x) + r, glo0, icq0)
-        bh1 = q_hi(mmax(y) + r, glo1, icq1)
-        bh2 = q_hi(mmax(z) + r, glo2, icq2)
-
-        n_chunks = cb_ref.shape[1]
-        m8 = jnp.int32(0xFF)
-
-        def live(ci):
-            wl = cb_ref[0, ci]
-            wh = cb_ref[1, ci]
-            return (((wh & m8) >= bl0) & ((wl & m8) <= bh0)
-                    & (((wh >> 8) & m8) >= bl1) & (((wl >> 8) & m8) <= bh1)
-                    & ((wh >> 16) >= bl2) & ((wl >> 16) <= bh2))
-
-        def next_live(ci):
-            """First surviving chunk index >= ci (n_chunks if none)."""
-            def cond(j):
-                return (j < n_chunks) & ~live(jnp.minimum(j, n_chunks - 1))
-
-            return lax.while_loop(cond, lambda j: j + 1, ci)
-
-        def get_dma(slot, ci):
+        def get_dma(slot, word):
+            ci = word & cmask
             off = pl.multiple_of(ci * CHB, CHB)
             return pltpu.make_async_copy(
                 photons_hbm.at[:, pl.ds(off, CHB)], scratch.at[slot],
                 sem.at[slot])
 
-        first = next_live(jnp.int32(0))
+        lcopy.wait()
+        list_ref = lsc
+        get_dma(0, list_ref[0]).start()
 
-        @pl.when(first < n_chunks)
-        def _warm():
-            get_dma(0, first).start()
+        def photon_at(j, slot, accs):
+            a0, a1, a2 = accs
+            dx = scratch[slot, 0, j] - x
+            dy = scratch[slot, 1, j] - y
+            dz = scratch[slot, 2, j] - z
+            d2 = dx * dx + dy * dy + dz * dz
+            ndot = (scratch[slot, 3, j] * nx + scratch[slot, 4, j] * ny
+                    + scratch[slot, 5, j] * nz)
+            ok = (d2 < r2) & (ndot > np.float32(1e-3))
+            w = 1.0 - jnp.sqrt(d2) * inv_r  # cone filter k=1
+            wf = jnp.where(ok, w, 0.0)
+            return (a0 + wf * scratch[slot, 6, j],
+                    a1 + wf * scratch[slot, 7, j],
+                    a2 + wf * scratch[slot, 8, j])
 
-        def cond(state):
-            ci = state[0]
-            return ci < n_chunks
+        def body(k, state):
+            slot, a0, a1, a2 = state
+            word = list_ref[k]
 
-        def body(state):
-            ci, slot, a0, a1, a2 = state
-            nxt = next_live(ci + 1)
-
-            @pl.when(nxt < n_chunks)
+            @pl.when(k + 1 < cnt)
             def _prefetch():
-                get_dma(1 - slot, nxt).start()
+                get_dma(1 - slot, list_ref[k + 1]).start()
 
-            get_dma(slot, ci).wait()
+            get_dma(slot, word).wait()
+            mask = word >> _MASK_SHIFT
+            accs = (a0, a1, a2)
+            for t in range(CHB // SUB):
+                def sub_run(a, _t=t):
+                    for j in range(_t * SUB, (_t + 1) * SUB):
+                        a = photon_at(j, slot, a)
+                    return a
 
-            def photon_body(j, accs):
-                a0, a1, a2 = accs
-                dx = scratch[slot, 0, j] - x
-                dy = scratch[slot, 1, j] - y
-                dz = scratch[slot, 2, j] - z
-                d2 = dx * dx + dy * dy + dz * dz
-                ndot = (scratch[slot, 3, j] * nx + scratch[slot, 4, j] * ny
-                        + scratch[slot, 5, j] * nz)
-                ok = (d2 < r2) & (ndot > np.float32(1e-3))
-                w = 1.0 - jnp.sqrt(d2) * inv_r  # cone filter k=1
-                wf = jnp.where(ok, w, 0.0)
-                return (a0 + wf * scratch[slot, 6, j],
-                        a1 + wf * scratch[slot, 7, j],
-                        a2 + wf * scratch[slot, 8, j])
+                accs = lax.cond((mask >> t) & 1 != 0, sub_run,
+                                lambda a: a, accs)
+            a0, a1, a2 = accs
+            return 1 - slot, a0, a1, a2
 
-            a0, a1, a2 = lax.fori_loop(0, CHB, photon_body, (a0, a1, a2))
-            return nxt, 1 - slot, a0, a1, a2
-
-        _, _, a0, a1, a2 = lax.while_loop(
-            cond, body, (first, jnp.int32(0), zero, zero, zero))
-        # inactive lanes ran the loop with whatever coords they carry (the
-        # raster design masked them via empty ranges); zero them here
+        _, a0, a1, a2 = lax.fori_loop(0, cnt, body,
+                                      (jnp.int32(0), zero, zero, zero))
+        # inactive lanes ran the loop with whatever coords they carry;
+        # zero them here
         out_ref[0] = jnp.where(act, a0, 0.0)
         out_ref[1] = jnp.where(act, a1, 0.0)
         out_ref[2] = jnp.where(act, a2, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_flux_chunks_pallas(point, normal, active, cbq, qparams,
+def gather_flux_chunks_pallas(point, normal, active, sbox,
                               photons_t, radius, interpret=False):
     """Adaptive cone-filter gather for n eye hits (n % 1024 == 0, ideally
     sorted by hit Morton key so blocks are spatially compact).
-    point/normal: (n, 3); active: (n,) bool; cbq/qparams/photons_t from
+    point/normal: (n, 3); active: (n,) bool; sbox/photons_t from
     build_photon_chunks; radius: scalar. Returns flux (n, 3); inactive
     lanes return zero."""
     n = point.shape[0]
     assert n % (BLOCK_ROWS * LANES) == 0, n
     rows = n // LANES
     grid = rows // BLOCK_ROWS
+    nblk = grid
 
+    lists, counts = block_chunk_lists(point, active, sbox, radius)
+    # the per-block list rows ride flattened in HBM (whole-array SMEM
+    # prefetch would blow the 1 MB SMEM budget) and each block DMAs its own
+    # row slice; rows pad to 1024 words so every slice offset and length is
+    # aligned to Mosaic's 1-D 1024-element tiling (2-D rows would need
+    # sublane-8 alignment instead, which a single row can't satisfy)
+    c_pad = -(-lists.shape[1] // 1024) * 1024
+    if c_pad != lists.shape[1]:
+        lists = jnp.pad(lists, ((0, 0), (0, c_pad - lists.shape[1])))
     hits = jnp.concatenate(
         [point.T, normal.T,
          active[None].astype(jnp.float32)]).reshape(7, rows, LANES)
     r_in = jnp.full((1, 1), radius, jnp.float32)
-    qp = qparams.reshape(1, 8)
 
     def spec3(lead):
-        return pl.BlockSpec((lead, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+        return pl.BlockSpec((lead, BLOCK_ROWS, LANES),
+                            lambda i, cnt: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        _kernel_chunks,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec3(7),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=spec3(3),
-        out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
         scratch_shapes=[pltpu.SMEM((2, 16, CHB), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SMEM((c_pad,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        _kernel_chunks, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
         interpret=interpret,
-    )(r_in, qp, cbq, hits, photons_t)
+    )(counts, r_in, hits, lists.reshape(-1), photons_t)
     return out.reshape(3, n).T
 
 

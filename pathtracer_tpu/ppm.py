@@ -557,18 +557,19 @@ def make_eye_pass(camera: Camera, width: int, height: int,
     def gather_kernel(point, normal, active, radius, grid):
         """Pallas adaptive chunk-bbox gather (ops/pallas/gather_kernel.py):
         hits sorted by Morton key over their own bbox for block coherence;
-        each block streams only the Morton-sorted 128-photon chunks whose
-        bbox intersects its hit bbox expanded by r. No grid-resolution
+        per 1024-hit block XLA precomputes the surviving Morton-sorted
+        128-photon chunks (exact f32 sub-chunk bboxes vs the block's hit
+        bbox + r) and the kernel walks that list. No grid-resolution
         limit — the density-adaptive answer to the reference's photon BVH
         point query (progressive_photon_map.ml:163-278)."""
         from .ops.pallas import gather_kernel as gk
 
-        photons_t, cbq, qparams = grid
+        photons_t, sbox = grid
         key = gk.hit_morton_keys(point, active)
         perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
         flux = gk.gather_flux_chunks_pallas(point[perm], normal[perm],
-                                            active[perm], cbq, qparams,
+                                            active[perm], sbox,
                                             photons_t, radius,
                                             interpret=kernel_interpret)
         return flux[inv_perm]

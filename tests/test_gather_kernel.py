@@ -117,12 +117,12 @@ def test_chunk_gather_matches_bruteforce():
         rng, n_hits, n_pho, r)
     pos = pos.copy()
     pos[::17] += 40.0  # sparse far outliers stretch the deposit bbox
-    tbl, cbq, qp = gk.build_photon_chunks(
+    tbl, sbox = gk.build_photon_chunks(
         jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
         jnp.asarray(valid))
     got = np.asarray(gk.gather_flux_chunks_pallas(
         jnp.asarray(point), jnp.asarray(normal), jnp.asarray(active),
-        cbq, qp, tbl, np.float32(r), interpret=True))
+        sbox, tbl, np.float32(r), interpret=True))
     want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
     assert (got[~active] == 0.0).all()
@@ -141,12 +141,12 @@ def test_chunk_gather_hits_near_outliers():
     point = point.copy()
     point[:100] = pos[:50].repeat(2, axis=0) + rng.standard_normal(
         (100, 3)).astype(np.float32) * (r / 4)
-    tbl, cbq, qp = gk.build_photon_chunks(
+    tbl, sbox = gk.build_photon_chunks(
         jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
         jnp.asarray(valid))
     got = np.asarray(gk.gather_flux_chunks_pallas(
         jnp.asarray(point), jnp.asarray(normal), jnp.asarray(active),
-        cbq, qp, tbl, np.float32(r), interpret=True))
+        sbox, tbl, np.float32(r), interpret=True))
     want = _brute_force(point, normal, active, pos, nrm, flux, valid, r)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
     assert want[:100][active[:100]].sum() > 0  # oracle sees the outliers
@@ -160,12 +160,12 @@ def test_chunk_gather_no_valid_photons():
     _, point, normal, active, pos, nrm, flux, _ = _setup(
         rng, 1024, 500, r)
     valid = np.zeros(500, bool)
-    tbl, cbq, qp = gk.build_photon_chunks(
+    tbl, sbox = gk.build_photon_chunks(
         jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(flux),
         jnp.asarray(valid))
     got = np.asarray(gk.gather_flux_chunks_pallas(
         jnp.asarray(point), jnp.asarray(normal), jnp.asarray(active),
-        cbq, qp, tbl, np.float32(r), interpret=True))
+        sbox, tbl, np.float32(r), interpret=True))
     assert (got == 0.0).all()
 
 

@@ -214,7 +214,7 @@ def test_sharded_photon_trace_multi_chunk_per_device():
 def test_ppm_ring_kernel_gather_interpret():
     """The POD production gather — the Pallas adaptive chunk-bbox gather —
     executing INSIDE the ring shard_map (interpret mode on the CPU mesh),
-    ppermuting (photons_t, cbq, qparams) sub-grids between hops. Must
+    ppermuting (photons_t, sbox) sub-grids between hops. Must
     match the replicated hash-gather render up to flux reassociation."""
     from pathtracer_tpu.models import cornell
     from pathtracer_tpu import ppm as P
