@@ -486,18 +486,33 @@ def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
       cols 18..23: 8 entry pointers, 24-bit little-endian packed; entry
         ptrs are (row*8) so bit0 carries the last-child flag.
       col 24: exit ptr (phase-encoded).
+      cols 26-28: reciprocal scale (f32, = 1/cols 3-5), filled by the
+        post-pass below for BOTH builder paths: the walker tests slabs in
+        the row's QUANTIZED frame (ray origin mapped once per step via
+        rscale; t = (q - po) * (inv_d * scale)) instead of decoding all
+        48 world-space bounds — saves ~48 FMAs per lane-step. The ±1
+        quantum guard band dwarfs the extra fp rounding, so visit sets
+        only change on measure-zero tangent grazes.
     Tri rows and pointer semantics otherwise match build_walk_table4
     with phase = ptr & 7, row = ptr >> 3.
 
     Returns (table, node_end, stride) in ROW units. Requires
     rows*8 < 2^24 (24-bit entries) — callers fall back to the BVH4
     table beyond that (~2M rows ~= 8M tris)."""
+    def with_rscale(table, node_end, stride):
+        # node rows only; tri rows keep cols 22-31 free/zero. Unwritten
+        # rows (empty-mesh padding) keep 0 — they are never visited.
+        sc = table[:node_end, 3:6]
+        table[:node_end, 26:29] = np.divide(
+            np.float32(1.0), sc, out=np.zeros_like(sc), where=sc > 0)
+        return table, node_end, stride
+
     if native:
         from ..native import bvh8_table_native
         out = bvh8_table_native(nodes_lo, nodes_hi, meta, axes, tri_a,
                                 tri_e1, tri_e2)
         if out is not None:
-            return out
+            return with_rscale(*out)
     m = meta.shape[0]
     tri_a = np.asarray(tri_a, np.float32)
     tri_e1 = np.asarray(tri_e1, np.float32)
@@ -635,7 +650,7 @@ def build_walk_table8(nodes_lo, nodes_hi, meta, axes, tri_a, tri_e1,
                 ti[r, 21] = f + j + 1
             table[r, 10] = 1.0 if j + 2 >= n else 0.0
     table[done] = 0.0
-    return table, node_end, stride
+    return with_rscale(table, node_end, stride)
 
 
 def leaf_histogram(meta):
@@ -663,17 +678,38 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
         1.0 / np.maximum(np.asarray(root_hi_np) - np.asarray(root_lo_np),
                          1e-9), np.float32)
 
+    # PATHTRACER_WALK_KEY picks the bit priority (hardware sweep knob):
+    #   dir (default) — direction octant + dir morton over origin cell:
+    #     primary/eye rays share origins, so direction is the signal
+    #   org — fine origin morton first: secondary/photon rays scatter
+    #     from surface points, and nearby origins walk the same deep
+    #     subtree regardless of direction
+    variant = os.environ.get("PATHTRACER_WALK_KEY", "dir")
+
     def key(org, d, active):
         oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
                 + (d[:, 2] < 0)).astype(jnp.int32)
         dn = d * jax.lax.rsqrt(jnp.maximum(jnp.sum(d * d, 1, keepdims=True),
                                            1e-30))
-        q = jnp.clip(((dn + 1.0) * 15.5), 0, 31).astype(jnp.int32)
-        dm = morton3(q[:, 0], q[:, 1], q[:, 2])  # 15 bits
-        oq = jnp.clip((org - root_lo) * root_inv_ext * 15.0, 0,
-                      15).astype(jnp.int32)
-        om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 12 bits
-        key = (oct_ << 27) | (dm << 12) | om
+        if variant == "org":
+            oq = jnp.clip((org - root_lo) * root_inv_ext * 127.0, 0,
+                          127).astype(jnp.int32)
+            om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 21 bits
+            q = jnp.clip(((dn + 1.0) * 1.99), 0, 3).astype(jnp.int32)
+            dm = morton3(q[:, 0], q[:, 1], q[:, 2])  # 6 bits
+            key = (om << 9) | (oct_ << 6) | dm
+        elif variant == "octorg":
+            oq = jnp.clip((org - root_lo) * root_inv_ext * 127.0, 0,
+                          127).astype(jnp.int32)
+            om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 21 bits
+            key = (oct_ << 21) | om
+        else:
+            q = jnp.clip(((dn + 1.0) * 15.5), 0, 31).astype(jnp.int32)
+            dm = morton3(q[:, 0], q[:, 1], q[:, 2])  # 15 bits
+            oq = jnp.clip((org - root_lo) * root_inv_ext * 15.0, 0,
+                          15).astype(jnp.int32)
+            om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 12 bits
+            key = (oct_ << 27) | (dm << 12) | om
         return jnp.where(active, key, jnp.int32(2 ** 30))
 
     return key
@@ -834,9 +870,13 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
             rows_i = lax.bitcast_convert_type(rows, jnp.int32)
             is_node = ptr < node_end8
 
-            # node interpretation: dequantize 8 boxes from the row frame
-            # (origin cols 0-2, scale cols 3-5, uint8 bounds cols 6-17;
-            # empty slots are inverted boxes that never pass)
+            # node interpretation: slab test in the row's QUANTIZED frame
+            # (origin cols 0-2, scale cols 3-5, rscale cols 26-28, uint8
+            # bounds cols 6-17; empty slots are inverted boxes that never
+            # pass). Mapping the ray once per step — po = (org - origin)
+            # * rscale, id' = inv_d * scale — replaces decoding all 48
+            # world-space bounds (origin + q*scale), ~48 fewer FMAs/step;
+            # the ±1 quantum guard bands absorb the changed fp rounding.
             w = rows_i[:, 6:18]
             qbytes = [lax.shift_right_logical(w[:, c], np.int32(s)) & 0xFF
                       for c in range(12) for s in (0, 8, 16, 24)]
@@ -845,10 +885,10 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
             qhi = qs[:, 1::2].reshape(-1, 8, 3)
             origin = rows[:, 0:3]
             scale = rows[:, 3:6]
-            lo = origin[:, None, :] + qlo * scale[:, None, :]
-            hi = origin[:, None, :] + qhi * scale[:, None, :]
-            t0 = (lo - org[:, None, :]) * inv_d[:, None, :]
-            t1 = (hi - org[:, None, :]) * inv_d[:, None, :]
+            po = (org - origin) * rows[:, 26:29]
+            idp = inv_d * scale
+            t0 = (qlo - po[:, None, :]) * idp[:, None, :]
+            t1 = (qhi - po[:, None, :]) * idp[:, None, :]
             tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
             tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
             iota8 = jnp.arange(8, dtype=jnp.int32)[None, :]

@@ -26,6 +26,7 @@ construction (the grid bbox covers every deposit).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -233,8 +234,12 @@ def _kernel(r_ref, hits_ref, s_ref, e_ref, photons_hbm, out_ref,
 # ---------------------------------------------------------------------------
 
 CHB = 128   # photons per DMA chunk
-SUB = 32    # photons per bbox sub-chunk (4 per DMA chunk)
-_MASK_SHIFT = 26  # list word = chunk_idx | sub_mask << 26
+# photons per bbox sub-chunk (sweep knob; 16 halves the streamed-photon
+# superset at double the list-build and mask-gate cost)
+SUB = int(os.environ.get("PATHTRACER_GATHER_SUB", "32"))
+if SUB not in (16, 32, 64, 128):
+    SUB = 32
+_MASK_SHIFT = 24  # list word = chunk_idx | sub_mask << 24 (mask <= 8 bits)
 
 
 @jax.jit
@@ -383,7 +388,8 @@ def _kernel_chunks(cnt_ref, r_ref, hits_ref, lists_hbm, photons_hbm,
                 get_dma(1 - slot, list_ref[k + 1]).start()
 
             get_dma(slot, word).wait()
-            mask = word >> _MASK_SHIFT
+            # logical shift: an 8-bit mask (SUB=16) reaches the sign bit
+            mask = lax.shift_right_logical(word, np.int32(_MASK_SHIFT))
             accs = (a0, a1, a2)
             for t in range(CHB // SUB):
                 def sub_run(a, _t=t):

@@ -6,6 +6,8 @@ over incoherent photon rays. Each config runs in a fresh subprocess so the
 PATHTRACER_WALK_* env knobs re-read cleanly.
 
 Usage: python tools/sweep_photon_walk.py ["512|24,0;1024|24,0;..."]
+Each config is chunk|caps or chunk|caps|key (key = dir/org/octorg,
+PATHTRACER_WALK_KEY).
 """
 import os
 import subprocess
@@ -27,7 +29,8 @@ for rep in range(4):
     float(jax.device_get(outs[0][0, 0]))  # honest d2h sync
     best = min(best, time.perf_counter() - t0)
 print(f"chunk={os.environ.get('PATHTRACER_WALK_CHUNK')} "
-      f"caps={os.environ.get('PATHTRACER_WALK_CAPS')}: "
+      f"caps={os.environ.get('PATHTRACER_WALK_CAPS')} "
+      f"key={os.environ.get('PATHTRACER_WALK_KEY', 'dir')}: "
       f"{best*1e3:.0f} ms/photon-pass", flush=True)
 """
 
@@ -37,9 +40,12 @@ def main():
             "512|24,0;512|48,0;512|0;1024|24,0;256|24,0;2048|24,0;"
             "512|16,32,0").split(";")
     for cfg in cfgs:
-        chunk, caps = cfg.split("|")
+        parts = cfg.split("|")
+        chunk, caps = parts[0], parts[1]
         env = dict(os.environ, PATHTRACER_WALK_CHUNK=chunk,
                    PATHTRACER_WALK_CAPS=caps)
+        if len(parts) > 2:
+            env["PATHTRACER_WALK_KEY"] = parts[2]
         r = subprocess.run([sys.executable, "-u", "-c", BODY], env=env,
                            capture_output=True, text=True, timeout=900)
         for line in (r.stdout + r.stderr).splitlines():
