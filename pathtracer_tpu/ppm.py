@@ -630,51 +630,128 @@ def make_eye_pass(camera: Camera, width: int, height: int,
         fd_beta = jnp.zeros_like(d)
         fd_ok = jnp.zeros(d.shape[:1], bool)
 
-        def bounce_body(carry, b):
-            org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok = carry
-            u = sampler.get_dyn(offs, 2 + b)  # one dim per eye bounce
-            h = hit_setup(org, d, alive, mesh_consts)
-            hit = h["hit"] & alive
-            q = shading.shader_quat(h["normal"])
-            omega_i = quat_ops.rotate(q, -d)
-            wi_z = omega_i[..., 2]
-            albedo = h["albedo"]
-            is_diff = h["mat_kind"] == 0
-            is_met = h["mat_kind"] == 1
+        def make_bounce_body(offs):
+            def bounce_body(carry, b):
+                org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok = carry
+                u = sampler.get_dyn(offs, 2 + b)  # one dim per eye bounce
+                h = hit_setup(org, d, alive, mesh_consts)
+                hit = h["hit"] & alive
+                q = shading.shader_quat(h["normal"])
+                omega_i = quat_ops.rotate(q, -d)
+                wi_z = omega_i[..., 2]
+                albedo = h["albedo"]
+                is_diff = h["mat_kind"] == 0
+                is_met = h["mat_kind"] == 1
 
-            # diffuse: record and terminate (a lane reaches this only once)
-            take = hit & is_diff
-            fd_pt = vec.where3(take, h["point"], fd_pt)
-            fd_nrm = vec.where3(take, h["normal"], fd_nrm)
-            fd_beta = vec.where3(take, beta * albedo, fd_beta)
-            fd_ok = fd_ok | take
+                # diffuse: record and terminate (a lane reaches this once)
+                take = hit & is_diff
+                fd_pt = vec.where3(take, h["point"], fd_pt)
+                fd_nrm = vec.where3(take, h["normal"], fd_nrm)
+                fd_beta = vec.where3(take, beta * albedo, fd_beta)
+                fd_ok = fd_ok | take
 
-            # specular continuation
-            wo_met = shading.reflect_local(omega_i)
-            met_ok = wo_met[..., 2] > 0.0
-            tint = albedo + (1.0 - albedo) * ((1.0 - wi_z) ** 5)[..., None]
-            ci = jnp.clip(wi_z, 0.0, 1.0)
-            si = jnp.sqrt(1.0 - ci * ci)
-            ratio = jnp.where(h["hit_front"], h["ior_inv"], h["ior"])
-            refl = (ratio * si > 1.0) | (shading.schlick(ci, ratio) > u)
-            wo_die = vec.where3(refl, wo_met,
-                                shading.refract_local(omega_i, ratio))
-            wo = vec.where3(is_met, wo_met, wo_die)
-            beta_new = vec.where3(is_met, beta * tint, beta)
-            ok = jnp.where(is_met, met_ok, ~is_diff)
+                # specular continuation
+                wo_met = shading.reflect_local(omega_i)
+                met_ok = wo_met[..., 2] > 0.0
+                tint = albedo + (1.0 - albedo) * ((1.0 - wi_z) ** 5)[..., None]
+                ci = jnp.clip(wi_z, 0.0, 1.0)
+                si = jnp.sqrt(1.0 - ci * ci)
+                ratio = jnp.where(h["hit_front"], h["ior_inv"], h["ior"])
+                refl = (ratio * si > 1.0) | (shading.schlick(ci, ratio) > u)
+                wo_die = vec.where3(refl, wo_met,
+                                    shading.refract_local(omega_i, ratio))
+                wo = vec.where3(is_met, wo_met, wo_die)
+                beta_new = vec.where3(is_met, beta * tint, beta)
+                ok = jnp.where(is_met, met_ok, ~is_diff)
 
-            dir_world = quat_ops.rotate_inv(q, wo)
-            new_org = shading.world_ray(h["point"], dir_world)
-            alive = hit & ok
-            org = vec.where3(alive, new_org, org)
-            d = vec.where3(alive, dir_world, d)
-            beta = jnp.where(alive[..., None], beta_new, beta)
-            return (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok), None
+                dir_world = quat_ops.rotate_inv(q, wo)
+                new_org = shading.world_ray(h["point"], dir_world)
+                alive = hit & ok
+                org = vec.where3(alive, new_org, org)
+                d = vec.where3(alive, dir_world, d)
+                beta = jnp.where(alive[..., None], beta_new, beta)
+                return (org, d, beta, alive,
+                        fd_pt, fd_nrm, fd_beta, fd_ok), None
+            return bounce_body
 
-        (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok), _ = jax.lax.scan(
-            bounce_body, (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok),
-            jnp.arange(eff_bounces, dtype=jnp.int32))
-        return fd_pt, fd_nrm, fd_beta, fd_ok
+        carry = (org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok)
+        # Specular-walk lane compaction (the eye-pass analog of the path
+        # tracer's bucket ladder): most lanes record their first diffuse at
+        # bounce 0 and die — the walk only continues through Specular
+        # scatters (ppm.ml:330-343) — so bounces 1+ over the full band run
+        # the composite intersector kernels at <20% occupancy. After
+        # bounce 0 the live lanes are argsort-packed to the front and
+        # bounces 1+ run inside a lax.switch branch whose arrays are
+        # PHYSICALLY the branch's static prefix size (same selection trick
+        # as integrator.py's ladder; per-lane results are unchanged, so the
+        # band output is bit-exact vs the uncompacted walk).
+        ladder = (eff_bounces > 1 and lanes >= 8 * 1024
+                  and os.environ.get("PATHTRACER_PPM_EYE_COMPACT",
+                                     "1") != "0")
+        # bounce 0 runs INLINE (not as a scan iteration) on BOTH paths:
+        # an inline bounce fuses with the camera-ray setup and XLA's fp
+        # contraction choices there differ from the standalone scan-body
+        # compilation, so ladder-on/-off only stay bit-identical if the
+        # two programs share the bounce-0 structure (measured: inline-vs-
+        # scan bounce 0 moved first-diffuse points by ~3e-5 on ~15% of
+        # specular-continuation lanes)
+        if eff_bounces == 1:
+            carry, _ = make_bounce_body(offs)(carry, jnp.int32(0))
+            return carry[4], carry[5], carry[6], carry[7]
+        carry, _ = make_bounce_body(offs)(carry, jnp.int32(0))
+        if not ladder:
+            carry, _ = jax.lax.scan(
+                make_bounce_body(offs), carry,
+                jnp.arange(1, eff_bounces, dtype=jnp.int32))
+            return carry[4], carry[5], carry[6], carry[7]
+        org, d, beta, alive, fd_pt, fd_nrm, fd_beta, fd_ok = carry
+        n_live = jnp.sum(alive.astype(jnp.int32))
+        perm = jnp.argsort(jnp.where(alive, 0, 1).astype(jnp.int32))
+        sizes, s = [lanes], lanes // 2
+        while s >= 4 * 1024 and len(sizes) < 4:
+            sizes.append(-(-s // 1024) * 1024)
+            s //= 2
+
+        def branch(p):
+            def br(org_f, d_f, beta_f, offs_f):
+                idx = perm[:p]
+                c2 = (org_f[idx], d_f[idx], beta_f[idx], alive[idx],
+                      jnp.zeros((p, 3), org_f.dtype),
+                      jnp.zeros((p, 3), org_f.dtype),
+                      jnp.zeros((p, 3), org_f.dtype),
+                      jnp.zeros((p,), bool))
+                c2, _ = jax.lax.scan(
+                    make_bounce_body(offs_f[idx]), c2,
+                    jnp.arange(1, eff_bounces, dtype=jnp.int32))
+                pad = lanes - p
+                if pad:
+                    z3 = jnp.zeros((pad, 3), org_f.dtype)
+                    return (jnp.concatenate([c2[4], z3]),
+                            jnp.concatenate([c2[5], z3]),
+                            jnp.concatenate([c2[6], z3]),
+                            jnp.concatenate([c2[7],
+                                             jnp.zeros((pad,), bool)]))
+                return c2[4], c2[5], c2[6], c2[7]
+            return br
+
+        sel = sum((n_live <= p).astype(jnp.int32) for p in sizes[1:])
+        p_pt, p_nrm, p_beta, p_ok = jax.lax.switch(
+            sel, [branch(p) for p in sizes], org, d, beta, offs)
+        # scatter the prefix records back over the bounce-0 records (a
+        # lane writes its first-diffuse at most once, so the two never
+        # overlap: p_ok lanes were alive after bounce 0, fd_ok ones dead)
+        okc = p_ok[:, None]
+        fd_pt = fd_pt.at[perm].set(jnp.where(okc, p_pt, fd_pt[perm]))
+        fd_nrm = fd_nrm.at[perm].set(jnp.where(okc, p_nrm, fd_nrm[perm]))
+        fd_beta = fd_beta.at[perm].set(jnp.where(okc, p_beta, fd_beta[perm]))
+        fd_ok = fd_ok.at[perm].set(p_ok | fd_ok[perm])
+        # barrier: the fd record VALUES are bit-identical to the
+        # uncompacted walk's (tested), but without a boundary XLA is free
+        # to contract walk-side multiplies into the downstream
+        # gather/finish graph differently for the ladder program, which
+        # broke band-placement bit-invariance at the ~4e-6 level
+        return jax.lax.optimization_barrier(
+            (fd_pt, fd_nrm, fd_beta, fd_ok))
 
     def finish(fd_beta, fd_ok, flux, radius):
         area = np.float32(np.pi) * radius * radius

@@ -50,6 +50,22 @@ def test_ppm_deterministic():
     np.testing.assert_array_equal(a, b)
 
 
+def test_eye_walk_ladder_matches_uncompacted(monkeypatch):
+    """The specular-walk lane-compaction ladder (argsort-pack after
+    bounce 0 + static-prefix switch) must be BIT-exact vs the full-width
+    walk: per-lane results are order-independent, compaction only changes
+    which lanes the intersector kernels stream. 128x64 rows -> 8192 lanes,
+    the ladder threshold."""
+    scene, cam, lights = cornell.build(1.0)
+    kw = dict(iterations=1, photon_count=1500, max_bounces=4,
+              verbose=False)
+    monkeypatch.setenv("PATHTRACER_PPM_EYE_COMPACT", "0")
+    a = PPMRenderer(scene, cam, lights, 128, 64, **kw).render()
+    monkeypatch.setenv("PATHTRACER_PPM_EYE_COMPACT", "1")
+    b = PPMRenderer(scene, cam, lights, 128, 64, **kw).render()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_ppm_checkpoint_resume(tmp_path):
     import os
     scene, cam, lights = cornell.build(1.0)
