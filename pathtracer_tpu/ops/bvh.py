@@ -698,6 +698,21 @@ def _coherence_key_fn(root_lo_np, root_hi_np):
             q = jnp.clip(((dn + 1.0) * 1.99), 0, 3).astype(jnp.int32)
             dm = morton3(q[:, 0], q[:, 1], q[:, 2])  # 6 bits
             key = (om << 9) | (oct_ << 6) | dm
+        elif variant == "om30":
+            # finest origin morton alone (10 bits/axis = morton3's cap):
+            # photon rays scatter from surface points, and the subtree a
+            # lane walks is set almost entirely by WHERE it starts — the
+            # NOTES' "sort by the 30-bit morton key" candidate
+            oq = jnp.clip((org - root_lo) * root_inv_ext * 1023.0, 0,
+                          1023).astype(jnp.int32)
+            key = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 30 bits
+        elif variant == "om27oct":
+            # 27-bit origin morton with direction octant as the tiebreak
+            # WITHIN a cell (fits int32 with the 2^30 inactive sentinel)
+            oq = jnp.clip((org - root_lo) * root_inv_ext * 511.0, 0,
+                          511).astype(jnp.int32)
+            om = morton3(oq[:, 0], oq[:, 1], oq[:, 2])  # 27 bits
+            key = (om << 3) | oct_
         elif variant == "octorg":
             oq = jnp.clip((org - root_lo) * root_inv_ext * 127.0, 0,
                           127).astype(jnp.int32)

@@ -685,9 +685,20 @@ def make_eye_pass(camera: Camera, width: int, height: int,
         # PHYSICALLY the branch's static prefix size (same selection trick
         # as integrator.py's ladder; per-lane results are unchanged, so the
         # band output is bit-exact vs the uncompacted walk).
-        ladder = (eff_bounces > 1 and lanes >= 8 * 1024
-                  and os.environ.get("PATHTRACER_PPM_EYE_COMPACT",
-                                     "1") != "0")
+        # Default: ladder only when the walk traverses a mesh BVH. A/B on
+        # hardware (tools/ab_eye_compact.py, 600x600 75k b4): cornell
+        # 0.083 -> 0.106 s/iter with the ladder ON — the composite
+        # sphere/quad kernels are so cheap that the argsort + switch
+        # overhead exceeds the saved low-occupancy work. Neither bench
+        # scene exercises the ON path by default (ganesha is all-diffuse,
+        # eff_bounces=1, so its walk is a single bounce and the ladder
+        # cannot engage); the mesh gate targets the case the ladder is
+        # for — specular scenes whose per-bounce intersect is a BVH walk.
+        # PATHTRACER_PPM_EYE_COMPACT=0/1 forces either path.
+        compact_env = os.environ.get("PATHTRACER_PPM_EYE_COMPACT", "")
+        want = (mesh is not None) if compact_env not in ("0", "1") \
+            else compact_env == "1"
+        ladder = eff_bounces > 1 and lanes >= 8 * 1024 and want
         # bounce 0 runs INLINE (not as a scan iteration) on BOTH paths:
         # an inline bounce fuses with the camera-ray setup and XLA's fp
         # contraction choices there differ from the standalone scan-body
