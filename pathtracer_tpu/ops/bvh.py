@@ -1163,7 +1163,14 @@ class MeshBVH:
     material layout shared with Scene (scene.TRI_MAT)."""
 
     def __init__(self, vertices, faces, mat_row, length_cutoff=8,
-                 num_bins=32, walk="octant"):
+                 num_bins=32, walk="octant", watertight=False):
+        # watertight: the model declares the mesh a closed surface whose
+        # rays always originate outside — the precondition for back-face
+        # culling the tile-PVS lists (a closed shell's nearest hit from
+        # outside is always front-facing). Declared per model, never
+        # inferred: an open mesh with this flag set can drop legitimate
+        # back-facing nearest hits.
+        self.watertight = bool(watertight)
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
         assert faces.shape[1] == 3, "expected triangular faces"

@@ -178,8 +178,24 @@ def _tile_planes(camera, width, height, tx_n, ty_n):
                                flip_y=False, with_z_plane=True, tile=TILE)
 
 
+def _tile_corner_dirs(camera, width, height, tx_n, ty_n):
+    """(T, 4, 3) f64 corner directions per tile, PPM film convention
+    (cy = y/H, no flip — matches _tile_planes). A planar tile's rays are
+    exactly the conical hull of these 4 directions (ops/frustum.py)."""
+    xs = np.arange(tx_n + 1) * (TILE / width)
+    ys = np.arange(ty_n + 1) * (TILE / height)
+    cx = np.broadcast_to(xs[None, :], (ty_n + 1, tx_n + 1))
+    cy = np.broadcast_to(ys[:, None], (ty_n + 1, tx_n + 1))
+    dirs = np.stack([camera.lower_left_x + camera.view_x * cx,
+                     camera.lower_left_y + camera.view_y * cy,
+                     np.full(cx.shape, -1.0)], axis=-1)
+    return np.stack([dirs[:-1, :-1], dirs[:-1, 1:], dirs[1:, :-1],
+                     dirs[1:, 1:]], axis=2).reshape(-1, 4, 3)
+
+
 def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
-                         width: int, height: int, bvh=None) -> TileTriTable:
+                         width: int, height: int, bvh=None,
+                         backface_cull: bool = False) -> TileTriTable:
     """Conservative cull of every triangle's AABB against every 32x32 tile
     frustum (p-vertex vs inward halfspace), then gather the survivors into
     the flat chunk table. Indices stay ascending per tile so the kernel's
@@ -248,7 +264,35 @@ def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
             bad = sb[:m].reshape(m, t_n, 5).any(axis=2)
             keep[:, s:e] = (~bad).T
 
-    counts = keep.sum(axis=1)
+    idx_lists = [None] * t_n
+    if backface_cull and n:
+        # Drop triangles every ray in the tile's cone can only hit
+        # BACK-facing: for a watertight mesh whose rays originate outside
+        # (MeshBVH.watertight, the caller's contract), the nearest hit is
+        # always on the outward side, so such rows can never win the
+        # kernel's strict-< argmin. A tile's direction set is exactly the
+        # conical hull of its 4 corner dirs, so min_i dot(n, c_i) > 0 is
+        # an exact all-back-facing proof, not a heuristic. Winding
+        # orientation comes from the mesh's signed volume (outward normals
+        # iff positive), so the test is orientation-agnostic. Measured on
+        # the 449k-tri ganesha shell at 600x600: 57.6% of tile-list rows
+        # drop (tools/proto_backface_cull.py).
+        corners = _tile_corner_dirs(camera, width, height, tx_n, ty_n)
+        e1d = tri_e1.astype(np.float64)
+        e2d = tri_e2.astype(np.float64)
+        normals = np.cross(e1d, e2d)
+        vol6 = float(np.einsum("ij,ij->", tri_a.astype(np.float64), normals))
+        s_out = 1.0 if vol6 >= 0.0 else -1.0
+    for t in range(t_n):
+        idx = np.nonzero(keep[t])[0]
+        if backface_cull and n and len(idx):
+            d4 = (s_out * normals[idx]) @ corners[t].T  # (k, 4)
+            # conservative fp margin: keep unless ALL corner dots are
+            # positive beyond rounding doubt (degenerate tris keep)
+            m = np.abs(normals[idx]).sum(1) * np.abs(corners[t]).sum(1).max()
+            idx = idx[d4.min(axis=1) <= 1e-12 * np.maximum(m, 1e-300)]
+        idx_lists[t] = idx
+    counts = np.array([len(i) for i in idx_lists], np.int64)
     pad_counts = np.maximum(-(-counts // CHUNK) * CHUNK, CHUNK)
     starts = np.zeros(t_n + 1, np.int64)
     np.cumsum(pad_counts, out=starts[1:])
@@ -256,7 +300,7 @@ def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
     table = alloc_big((16, r_total), np.float32)
     table[:, :] = 0.0  # alloc_big's small-array path is uninitialized
     for t in range(t_n):
-        idx = np.nonzero(keep[t])[0]
+        idx = idx_lists[t]
         s0 = int(starts[t])
         k = len(idx)
         table[0:3, s0:s0 + k] = tri_a[idx].T

@@ -914,11 +914,17 @@ class PPMRenderer:
             if key not in tile_cache:
                 from .ops.pallas import tile_tri_kernel as ttk
                 if "tt" not in tile_cache:  # the cull itself runs once
+                    # back-face cull only when the model declared the mesh
+                    # watertight (MeshBVH ctor); PATHTRACER_TILE_BACKFACE=0
+                    # forces the uncull path for A/B
+                    bf = (getattr(self.mesh, "watertight", False)
+                          and os.environ.get("PATHTRACER_TILE_BACKFACE",
+                                             "1") != "0")
                     tile_cache["tt"] = ttk.build_tile_tri_table(
                         self.camera, np.asarray(self.mesh.tri_a),
                         np.asarray(self.mesh.tri_e1),
                         np.asarray(self.mesh.tri_e2), self.width,
-                        self.height, bvh=self.mesh)
+                        self.height, bvh=self.mesh, backface_cull=bf)
                 tt = tile_cache["tt"]
                 bands, n_tiles = ttk.band_chunk_maps(tt, band_rows,
                                                      min_bands)

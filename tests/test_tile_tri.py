@@ -186,3 +186,87 @@ def test_bvh_cull_is_conservative_superset_of_brute():
     for t, (sb, sv) in enumerate(zip(brute, bvh)):
         assert sb <= sv, f"tile {t}: BVH cull dropped brute-accepted tris"
     assert n_bvh <= n_brute * 1.05 + 64, (n_bvh, n_brute)
+
+
+def _octa_sphere(subdiv, center, radius):
+    """Watertight sphere mesh: subdivided octahedron projected to the
+    sphere; consistent outward winding."""
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+    for _ in range(subdiv):
+        verts = list(v)
+        cache = {}
+
+        def mid(i, j):
+            k = (min(i, j), max(i, j))
+            if k not in cache:
+                m = v[i] + v[j]
+                m /= np.linalg.norm(m)
+                cache[k] = len(verts)
+                verts.append(m)
+            return cache[k]
+
+        nf = []
+        for a_, b_, c_ in f:
+            ab, bc, ca = mid(a_, b_), mid(b_, c_), mid(c_, a_)
+            nf += [[a_, ab, ca], [ab, b_, bc], [ca, bc, c_], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf)
+    return (v * radius + center).astype(np.float32), f
+
+
+def test_backface_cull_keeps_every_nearest_hit():
+    """Back-face culled tile lists (watertight precondition) must still
+    contain the brute-force nearest-hit triangle of every pixel ray, for
+    BOTH winding orientations (the signed-volume sign detection), while
+    actually dropping a large back-facing share."""
+    w = h = 64
+    cam = Camera.create(eye=(0, 0, 0), target=(0, 0, -1), up=(0, 1, 0),
+                        aspect=1.0, vertical_fov_deg=50.0)
+    verts, faces = _octa_sphere(3, np.array([0.0, 0.0, -4.0]), 1.6)
+    for flip in (False, True):
+        fc = faces[:, ::-1] if flip else faces
+        a = verts[fc[:, 0]]
+        e1 = verts[fc[:, 1]] - a
+        e2 = verts[fc[:, 2]] - a
+        full = ttk.build_tile_tri_table(cam, a, e1, e2, w, h)
+        cull = ttk.build_tile_tri_table(cam, a, e1, e2, w, h,
+                                        backface_cull=True)
+
+        def tile_sets(tt):
+            out = []
+            for t in range(tt.tx_n * tt.ty_n):
+                s0 = int(tt.tile_chunk_start[t]) * ttk.CHUNK
+                s1 = int(tt.tile_chunk_start[t + 1]) * ttk.CHUNK
+                real = np.any(tt.table[3:9, s0:s1] != 0, axis=0)
+                out.append(set(np.unique(
+                    tt.table[9, s0:s1][real]).astype(int)))
+            return out
+
+        full_sets, cull_sets = tile_sets(full), tile_sets(cull)
+        n_full = sum(len(s) for s in full_sets)
+        n_cull = sum(len(s) for s in cull_sets)
+        assert n_cull < n_full * 0.75, (n_cull, n_full)
+        for sc, sf in zip(cull_sets, full_sets):
+            assert sc <= sf
+
+        # brute nearest hit per pixel-center ray must survive the cull
+        ys, xs = np.mgrid[0:h, 0:w]
+        cx = (xs.ravel() + 0.5) / w
+        cy = (ys.ravel() + 0.5) / h
+        d = np.asarray(cam.ray_dirs(jnp.asarray(cx, jnp.float32),
+                                    jnp.asarray(cy, jnp.float32)))
+        tc = tri_ops.pack_for_intersect(jnp.asarray(a), jnp.asarray(e1),
+                                        jnp.asarray(e2),
+                                        jnp.ones(len(a), bool))
+        org = jnp.zeros((len(d), 3), jnp.float32)
+        _, i_o, hit_o = tri_ops.intersect_tris(tc, org, jnp.asarray(d))
+        i_o, hit_o = np.asarray(i_o), np.asarray(hit_o)
+        tx = xs.ravel() // ttk.TILE
+        ty = ys.ravel() // ttk.TILE
+        tid = ty * cull.tx_n + tx
+        miss = [(int(t), int(i)) for t, i, hh in zip(tid, i_o, hit_o)
+                if hh and int(i) not in cull_sets[int(t)]]
+        assert not miss, miss[:10]
