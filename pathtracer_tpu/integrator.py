@@ -808,8 +808,19 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
 
         init = (jnp.zeros(pass_fn.raw_shape, dtype) if untile is not None
                 else jnp.zeros((height, width, 3), dtype))
+        # Measured NEUTRAL on hardware (interleaved A/B at the canonical
+        # config: unroll=1 146.6-147.6 ms vs unroll=2 145.9-146.9) — the
+        # per-scan-step overhead is not where the ~3.5 ms/pass marginal
+        # goes. Knob retained for re-testing on other devices.
+        try:  # tuning knobs must not break renders
+            unroll = int(os.environ.get("PATHTRACER_SCAN_UNROLL") or 1)
+        except ValueError:
+            unroll = 1
+        if unroll < 1 or steps % unroll != 0:
+            unroll = 1
         sums, segs = lax.scan(body, init,
-                              jnp.arange(spp).reshape(steps, chains, pb))
+                              jnp.arange(spp).reshape(steps, chains, pb),
+                              unroll=unroll)
         if untile is not None:
             sums = untile(sums)
         img = film.finalize(film.apply_filter(sums, kern2d, dtype), spp)
