@@ -199,9 +199,12 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
 def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int,
           background: Callable, intersect_fn=None, select_mode: str = "gather",
           backend: str | None = None, alive0=None, mesh=None,
-          mesh_consts=None, origin_zero: bool = False, block_lists0=None):
+          mesh_consts=None, origin_zero: bool = False, block_lists0=None,
+          raw_planes: bool = False):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
-    segments traced (scalar int32)).
+    segments traced (scalar int32)). raw_planes: the fused-kernel path MAY
+    return radiance as (3, N//128, 128) planes instead (callers must
+    accept either; see _trace_pallas2).
 
     select_mode: how the winning sphere's shading params reach the rays —
     "gather" (scene.shade_pack[idx]) or "onehot" (MXU row-select matmul).
@@ -222,7 +225,8 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
                                   background, alive0,
                                   interpret=(backend == "pallas2_interpret"),
                                   origin_zero=origin_zero,
-                                  block_lists0=block_lists0)
+                                  block_lists0=block_lists0,
+                                  raw_planes=raw_planes)
         # fall back to the composite kernel tier, PRESERVING interpret
         # mode (losing it made every pallas2_interpret fallback crash on
         # CPU with "Only interpret mode is supported")
@@ -297,7 +301,7 @@ def _default_compact_at(max_bounces):
 
 def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
                    alive0, compact_at=None, interpret=False,
-                   origin_zero=False, block_lists0=None):
+                   origin_zero=False, block_lists0=None, raw_planes=False):
     """Fully fused two-kernel bounce loop (sphere scenes only): Pallas
     intersection + Pallas shading, state kept transposed (10, N) across
     bounces so each bounce reads/writes it exactly once.
@@ -383,8 +387,19 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
         segments = segments + jnp.sum((state[9] > 0.0).astype(jnp.int32))
         state, rad_t = bounce_step(state, rad_t, off_rows, bounce)
 
+    # raw_planes: return radiance sums in the kernels' native (3, rows,
+    # LANES) plane layout — the caller accumulates across passes in this
+    # layout and transposes ONCE after the scan. The per-pass
+    # reshape(3,N).T below materializes a (N, 3) array whose 3-wide minor
+    # dim tiles terribly on TPU (profiled at ~0.4 ms/pass of transpose +
+    # layout copies at the canonical config). Only taken when the caller's
+    # ray count is already block-aligned (the tiled path always is).
+    raw_planes = raw_planes and n_pad == 0
+
     if not compact_at:
         flush = flush + rad_t
+        if raw_planes:
+            return flush, segments
         rad = flush.reshape(3, np_tot).T
         return (rad[:n] if n_pad else rad), segments
 
@@ -429,6 +444,13 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
             chain2 = []  # local compactions at prefix scale
 
             def to_orig(x3):
+                # NOTE the gather-then-select shape is load-bearing: an
+                # attempt to drop the f32x3 select by padding x with a zero
+                # lane and routing dead lanes' indices there (s32 where on
+                # the index instead) made XLA fuse the index arithmetic
+                # into the gather and the gather went 0.35 -> 2.8 ms/pass
+                # (hardware, canonical config; whole render 147 -> 221 ms).
+                # Keep the plain x[:, map] + where(mask) idiom.
                 x = x3.reshape(3, -1)
                 for ap, dd in reversed(chain2):
                     x = jnp.where(ap[None, :], x[:, dd], 0.0)
@@ -495,6 +517,8 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
                            state, off_rows)
     flush = flush + fl
     segments = segments + segs2
+    if raw_planes:
+        return flush, segments
     rad = flush.reshape(3, np_tot).T
     if n_pad:
         rad = rad[:n]
@@ -690,16 +714,27 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
                               max_bounces, background, intersect_fn,
                               select_mode, backend, alive0=alive0, mesh=mesh,
                               mesh_consts=mesh_consts, origin_zero=True,
-                              block_lists0=block_lists)
+                              block_lists0=block_lists, raw_planes=raw)
+            if raw and rad.ndim == 3:
+                # fused-kernel plane layout (3, lead*rows, 128): sum the
+                # lead dim and hand the planes straight to the scan carry
+                if lead:
+                    rad = jnp.sum(
+                        rad.reshape(3, lead[0], -1, rad.shape[-1]), axis=1)
+                return rad, segs
             rad = rad.reshape(lead + (tyn * txn * TILE * TILE, 3))
             if lead:
                 rad = jnp.sum(rad, axis=0)
-            if raw:
-                return rad, segs
+            if raw:  # fallback backend returned (N, 3): convert to planes
+                return rad.T.reshape(3, -1, 128), segs
             return untile(rad), segs
 
-        tiled_pass_fn.untile = untile
-        tiled_pass_fn.raw_shape = (tyn * txn * TILE * TILE, 3)
+        def untile_planes(sums):
+            """(3, rows, 128) scan-accumulated planes -> (H, W, 3)."""
+            return untile(sums.reshape(3, -1).T)
+
+        tiled_pass_fn.untile = untile_planes
+        tiled_pass_fn.raw_shape = (3, tyn * txn * TILE * TILE // 128, 128)
         return tiled_pass_fn
 
     def pass_fn(scene: SphereScene, pass_idx, row_ids=None,
