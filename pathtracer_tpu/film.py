@@ -74,30 +74,36 @@ def binomial_kernel_2d(order: int, pixel_radius: int) -> np.ndarray:
 
 def apply_filter(sums, kernel_2d, dtype=None):
     """Convolve per-pixel radiance sums (H, W, 3) with the reconstruction
-    kernel (zero padding == reference's drop-out-of-image semantics).
+    kernel (SAME zero padding == reference's drop-out-of-image semantics).
 
-    Written as kh*kw shifted multiply-adds on the padded image instead of
-    a depthwise conv_general_dilated: the grouped conv (1 channel per
-    group) does not map to the MXU and measured ~1.4 ms slower on
-    hardware for a 3x3 kernel over 600x300x3 f32 (28.9 vs 27.5 ms
-    standalone incl. ~27 ms tunnel dispatch; tools/proto_pass_overhead.py
-    attributes filter+finalize at ~2 ms device-side), while the
-    shifted-add graph fuses to one elementwise pass. An earlier 65 ms
-    reading for the conv was a measurement bug (the sync pulled the full
-    image through the tunnel)."""
+    Formulation note (measured 2026-08-18): a shifted-multiply-add graph
+    (kh*kw padded slices) is ~1.4 ms faster on the TPU than this grouped
+    conv (28.9 vs 27.5 ms standalone incl. ~27 ms tunnel dispatch;
+    tools/proto_pass_overhead.py puts filter+finalize at ~2 ms
+    device-side) — but it is REJECTED: its mul+adds contract into FMAs
+    differently depending on the surrounding graph, so the sharded and
+    single-device stitches produced 1-ulp-different images from identical
+    sums, breaking the placement-invariance bit-exactness tests (131/9216
+    pixels at 5.96e-8; an optimization_barrier around the subgraph did
+    not stop the contraction on CPU). The conv is a single opaque op and
+    lowers identically everywhere. An earlier 65 ms reading for the conv
+    was a measurement bug (the sync pulled the full image through the
+    tunnel)."""
     dtype = dtype or sums.dtype
     k = jnp.asarray(kernel_2d, dtype)
     kh, kw = k.shape
-    rh, rw = kh // 2, kw // 2
-    x = sums.astype(dtype)
-    h, w = x.shape[0], x.shape[1]
-    xp = jnp.pad(x, ((rh, rh), (rw, rw), (0, 0)))
-    out = None
-    for i in range(kh):
-        for j in range(kw):
-            term = k[i, j] * xp[i:i + h, j:j + w, :]
-            out = term if out is None else out + term
-    return out
+    x = jnp.transpose(sums, (2, 0, 1))[None]  # (1, 3, H, W)
+    kern = jnp.broadcast_to(k, (3, 1, kh, kw))  # depthwise: one filter per channel
+    y = lax.conv_general_dilated(
+        x.astype(dtype),
+        kern,
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=3,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,  # default precision is bf16 on TPU
+    )
+    return jnp.transpose(y[0], (1, 2, 0))  # (H, W, 3)
 
 
 def finalize(filtered_sums, samples_per_pixel: int):

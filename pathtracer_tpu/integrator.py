@@ -147,9 +147,16 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
         else:
             point, g_normal, t = point_s, n_s, t_s
         if has_mesh:
-            ma = mc.get("tri_a", mesh.tri_a)[idx_m]
-            me1 = mc.get("tri_e1", mesh.tri_e1)[idx_m]
-            me2 = mc.get("tri_e2", mesh.tri_e2)[idx_m]
+            tp9 = mc.get("tri_pack9")
+            if tp9 is not None:
+                # one plane-major gather for all 9 winner attributes (see
+                # MeshBVH.device_consts on the ~7x gather-rate difference)
+                cols = tp9[:, idx_m]  # (9, L)
+                ma, me1, me2 = cols[0:3].T, cols[3:6].T, cols[6:9].T
+            else:
+                ma = mc.get("tri_a", mesh.tri_a)[idx_m]
+                me1 = mc.get("tri_e1", mesh.tri_e1)[idx_m]
+                me2 = mc.get("tri_e2", mesh.tri_e2)[idx_m]
             point_m = ma + u_m[:, None] * me1 + v_m[:, None] * me2
             n_m = vec.normalize(vec.cross(me1, me2))
             point = vec.where3(use_mesh, point_m, point)

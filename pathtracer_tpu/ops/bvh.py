@@ -798,8 +798,13 @@ def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
 
         # sort by the static coherence key, pad to a chunk multiple
         perm = jnp.argsort(key_fn(org, d, active))
-        org, d = org[perm], d[perm]
-        t_max0, active = t_max0[perm], active[perm]
+        # one plane-major gather for the 8-plane payload (see permute_all)
+        pl8 = jnp.stack([org[:, 0], org[:, 1], org[:, 2], d[:, 0],
+                         d[:, 1], d[:, 2], t_max0,
+                         active.astype(jnp.float32)])[:, perm]
+        org = jnp.stack([pl8[0], pl8[1], pl8[2]], axis=1)
+        d = jnp.stack([pl8[3], pl8[4], pl8[5]], axis=1)
+        t_max0, active = pl8[6], pl8[7] > 0.5
         lane_id = perm.astype(jnp.int32)
         pad = (-n) % chunk
         if pad:
@@ -820,20 +825,46 @@ def _chunked_walk_driver(init_state, walk_pass, key_fn, table_default,
                 (rsh(org), rsh(d), tuple(rsh(s) for s in state)))
             return tuple(o.reshape(n_tot) for o in out)
 
+        def permute_all(p, org, d, t_max0, lane_id, state):
+            # ONE plane-major gather for the whole 14-plane lane payload:
+            # fourteen narrow (n,) gathers ran at the gather engine's
+            # ~4-5 ns/element (~12 ms of a 111 ms ganesha photon pass);
+            # a (14, n) row gather runs at ~0.6 ns/element. Bitcasts move
+            # bits verbatim, so int planes survive the f32 stack exactly.
+            bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
+            ub = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+            planes = jnp.stack(
+                [org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1],
+                 d[:, 2], t_max0, bc(lane_id), bc(state[0]), bc(state[1]),
+                 state[2], state[3], state[4], bc(state[5])])[:, p]
+            org = jnp.stack([planes[0], planes[1], planes[2]], axis=1)
+            d = jnp.stack([planes[3], planes[4], planes[5]], axis=1)
+            state = (ub(planes[8]), ub(planes[9]), planes[10], planes[11],
+                     planes[12], ub(planes[13]))
+            return org, d, planes[6], ub(planes[7]), state
+
         for pi, cap in enumerate(caps):
             if pi:  # regroup: finished lanes last, survivors by ptr
                 key2 = jnp.where(state[0] == done, jnp.int32(2 ** 30),
                                  state[0])
                 p2 = jnp.argsort(key2)
-                org, d = org[p2], d[p2]
-                t_max0, lane_id = t_max0[p2], lane_id[p2]
-                state = tuple(s[p2] for s in state)
+                org, d, t_max0, lane_id, state = permute_all(
+                    p2, org, d, t_max0, lane_id, state)
             state = run_chunked(cap, org, d, state)
 
         t, u, v, idx = state[2], state[3], state[4], state[5]
         hit = t < jnp.minimum(t_max0, BIG)
-        inv = jnp.argsort(lane_id)
-        return tuple(o[inv][:n] for o in (t, u, v, idx, hit))
+        # Undo the travelling lane permutation by scatter-inverting
+        # lane_id instead of a second full argsort (~3 ms/bounce at 75k
+        # lanes): lane_id holds each slot's ORIGINAL index, unique in
+        # [0, n) for real lanes; pad slots share lane_id == n and drop.
+        pos = jnp.zeros((n,), jnp.int32).at[lane_id].set(
+            jnp.arange(n_tot, dtype=jnp.int32), mode="drop")
+        bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
+        out = jnp.stack([t, u, v, bc(idx),
+                         hit.astype(jnp.float32)])[:, pos]
+        return (out[0], out[1], out[2],
+                lax.bitcast_convert_type(out[3], jnp.int32), out[4] > 0.5)
 
     return intersect
 
@@ -1285,9 +1316,18 @@ class MeshBVH:
         the same arrays as jit arguments avoids that entirely."""
         self._ensure_device()
         if self._device_tris is None:
+            # tri_pack9: (9, T) plane-major [a|e1|e2] — a per-lane winner
+            # gather pulls all 9 attribute values with ONE index array.
+            # Nine narrow (L,) gathers from the (T, 3) arrays ran at the
+            # gather engine's ~4-5 ns/element; one plane-major gather runs
+            # at ~0.6 ns/element (profiled: the mesh-attr gathers were
+            # ~11 ms of a 111 ms ganesha photon pass).
+            pack9 = np.concatenate([self.tri_a.T, self.tri_e1.T,
+                                    self.tri_e2.T]).astype(np.float32)
             self._device_tris = dict(tri_a=jnp.asarray(self.tri_a),
                                      tri_e1=jnp.asarray(self.tri_e1),
                                      tri_e2=jnp.asarray(self.tri_e2),
+                                     tri_pack9=jnp.asarray(pack9),
                                      mat_row=jnp.asarray(self.mat_row))
         consts = dict(self._device_tris)
         if self.table_j is not None:
