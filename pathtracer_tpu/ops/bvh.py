@@ -894,8 +894,15 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
         # 2 walk steps per while iteration: the loop machinery (cond
         # scalar-sync + body dispatch) dominates the per-step fixed cost
         # on this device, and an extra body on an all-done state is the
-        # identity, so unrolling stays bit-exact (caps round up to even)
+        # identity, so unrolling stays bit-exact (caps round up to a
+        # multiple of the unroll). PATHTRACER_WALK_UNROLL sweeps it.
         unroll = 2
+        env_u = os.environ.get("PATHTRACER_WALK_UNROLL")
+        if env_u:  # hardware sweep knob; malformed values ignored
+            try:
+                unroll = max(1, int(env_u))
+            except ValueError:
+                pass
 
         def cond(sk):
             state, k = sk
