@@ -265,23 +265,31 @@ def build_photon_chunks(pos, nrm, flux, valid):
     key = jnp.where(valid, key, jnp.int32(1 << 30))  # invalid sort last
     _, order = lax.sort_key_val(key, jnp.arange(npho, dtype=jnp.int32))
 
+    # ONE plane-major row gather for the whole 10-plane payload: the
+    # previous per-array posm/nrm/flux/valid gathers ran as narrow (n, 3)
+    # gathers at the gather engine's ~4-5 ns/element; a (10, n) row gather
+    # runs ~7x faster (same finding as the walk driver's permute_all)
+    planes = jnp.stack([posm[:, 0], posm[:, 1], posm[:, 2],
+                        nrm[:, 0], nrm[:, 1], nrm[:, 2],
+                        flux[:, 0], flux[:, 1], flux[:, 2],
+                        valid.astype(jnp.float32)])[:, order]
     np_pad = -(-npho // CHB) * CHB
     tbl = jnp.full((16, np_pad), big)
-    tbl = tbl.at[0:3, :npho].set(posm[order].T)
-    tbl = tbl.at[3:6, :npho].set(nrm[order].T)
-    tbl = tbl.at[6:9, :npho].set(flux[order].T)
+    tbl = tbl.at[0:9, :npho].set(planes[0:9])
 
     # exact sub-chunk bboxes over the VALID members only (masked pad/
     # invalid = +big already; for hi use -big so empty subs get inverted
     # boxes that overlap nothing)
-    vs = valid[order]
-    pv_lo = jnp.full((np_pad, 3), big).at[:npho].set(posm[order])
-    pv_hi = jnp.full((np_pad, 3), -big).at[:npho].set(
-        jnp.where(vs[:, None], pos[order], -big))
+    vs = planes[9] > 0.5
+    pad = np_pad - npho
+    pv_lo = jnp.concatenate([planes[0:3],
+                             jnp.full((3, pad), big)], axis=1)
+    pv_hi = jnp.concatenate([jnp.where(vs, planes[0:3], -big),
+                             jnp.full((3, pad), -big)], axis=1)
     n_sub = np_pad // SUB
-    s_lo = jnp.min(pv_lo.reshape(n_sub, SUB, 3), axis=1)  # (n_sub, 3)
-    s_hi = jnp.max(pv_hi.reshape(n_sub, SUB, 3), axis=1)
-    sbox = jnp.concatenate([s_lo.T, s_hi.T])  # (6, n_sub)
+    s_lo = jnp.min(pv_lo.reshape(3, n_sub, SUB), axis=2)  # (3, n_sub)
+    s_hi = jnp.max(pv_hi.reshape(3, n_sub, SUB), axis=2)
+    sbox = jnp.concatenate([s_lo, s_hi])  # (6, n_sub)
     return tbl, sbox
 
 
