@@ -452,7 +452,8 @@ def hash_gather(point, normal, active, radius, grid, grid_m,
     c_tab = jnp.where(dup, 0, c_tab)
     cost = jnp.sum(c_tab, axis=1)
     perm = jnp.argsort(jnp.where(active, cost, -1))
-    inv_perm = jnp.argsort(perm)
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
     point_s, normal_s = point[perm], normal[perm]
     active_s = active[perm]
     s_s, c_s = s_tab[perm], c_tab[perm]
@@ -567,7 +568,11 @@ def make_eye_pass(camera: Camera, width: int, height: int,
         photons_t, sbox = grid
         key = gk.hit_morton_keys(point, active)
         perm = jnp.argsort(key)
-        inv_perm = jnp.argsort(perm)
+        # scatter-built inverse instead of a second argsort (~3 ms at
+        # 150k lanes; perm is a permutation so the scatter is exact)
+        n_h = perm.shape[0]
+        inv_perm = jnp.zeros((n_h,), jnp.int32).at[perm].set(
+            jnp.arange(n_h, dtype=jnp.int32))
         # one plane-major row gather for the 7-plane hit payload (narrow
         # (n, 3) gathers run ~7x slower per element; see the walk driver)
         pl7 = jnp.stack([point[:, 0], point[:, 1], point[:, 2],
