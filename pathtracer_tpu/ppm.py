@@ -1043,6 +1043,74 @@ class PPMRenderer:
                     trace_photons.chunk, ring_env["jmesh"],
                     _ring_grid_build)
 
+        # --- fused single-chip iteration --------------------------------
+        # The ring mode proved a full PPM iteration fuses into two device
+        # programs (parallel/ppm_ring.py); single-chip goes one further:
+        # photon trace + chunk build + the WHOLE eye pass (+ the film
+        # accumulate when nothing on the host consumes the running image)
+        # compile into ONE program, so an iteration pays one dispatch
+        # instead of six (trace, chunk build, 3 eye bands, accumulate) —
+        # the tunneled chip's ~27 ms/program floor made the dispatch count
+        # the single-chip tax (BASELINE.md). Phase boundaries keep
+        # optimization barriers so per-phase fp contraction — and hence
+        # the image — stays bit-identical to the unfused program chain.
+        # The 60 s call-kill guard that motivated banded eye calls still
+        # holds: one fused 600x600 iteration is ~0.15 s of device time.
+        # PATHTRACER_PPM_FUSE=0 forces the banded path for A/B.
+        # Tile-PVS scenes (all-diffuse mesh, e.g. ganesha) stay banded:
+        # measured 2026-08-19 fused 0.155-0.158 vs banded 0.150-0.158
+        # s/iter (bit-identical) — the iteration there is real device work
+        # (the BVH8 photon walk), not dispatch, and the fused program's
+        # one-band tile layout costs 2.4x the compile (144 s vs 61 s cold)
+        # for nothing. Cornell-class scenes win 13%: 0.065 vs 0.075.
+        fused = (len(devices) == 1 and not shard and not ring
+                 and use_kernel and trace_photons.n_chunks == 1
+                 and self.phase_cb is None and not use_tile
+                 and os.environ.get("PATHTRACER_PPM_FUSE", "1") != "0")
+        fused_fns = {}
+        if fused:
+            from .ops.pallas import gather_kernel as gk
+            band_rows_f = (-(-self.height // 32) * 32 if use_tile
+                           else self.height)
+            tile_f = get_tile(band_rows_f)
+            eye_raw_f = make_eye_pass(
+                self.camera, self.width, self.height, self.max_bounces,
+                self.photon_count, dep_lanes, self.backend, grid_m=grid_m,
+                mesh=self.mesh, band_rows=band_rows_f,
+                use_kernel=use_kernel, eff_bounces=eff_bounces,
+                tile_static=tile_f[0] if tile_f else None)
+
+            def _fused_body(offset_ph, offset_eye, rj, consts, scene_t,
+                            *tile_consts):
+                out = trace_photons.body(offset_ph, jnp.int32(0), consts,
+                                         scene_t)
+                dep = jax.lax.optimization_barrier(
+                    trace_photons.flatten(out))
+                grid = jax.lax.optimization_barrier(
+                    gk.build_photon_chunks(*dep))
+                band = eye_raw_f(offset_eye, rj, grid, jnp.int32(0),
+                                 consts, scene_t,
+                                 tile_consts if tile_consts else None)
+                n_ph = jnp.sum(dep[3].astype(jnp.int32))
+                return band[:self.height][::-1], out[4], n_ph
+
+            if dev_accum:
+                @jax.jit
+                def fused_iter(offset_ph, offset_eye, rj, s, c, consts,
+                               scene_t, *tile_consts):
+                    band, segs, n_ph = _fused_body(
+                        offset_ph, offset_eye, rj, consts, scene_t,
+                        *tile_consts)
+                    y = band - c
+                    t = s + y
+                    return t, (t - s) - y, segs, n_ph
+            else:
+                fused_iter = jax.jit(_fused_body)
+            fused_fns["iter"] = fused_iter
+            fused_fns["tile"] = tile_f
+            fused_fns["consts"] = (self.mesh.device_consts()
+                                   if self.mesh is not None else None)
+
         def build_one_grid(pos, nrm, flux, ok, r, need_stats=True):
             """Build one (sub-)grid over the given deposits, on whatever
             device holds them (jnp ops follow committed inputs). Returns
@@ -1082,215 +1150,234 @@ class PPMRenderer:
             r = self.radius(i + 1)
             if self.verbose:
                 print(f"#iteration = {i}, radius = {r:.3f}", flush=True)
-            if ring_full:
-                # photon trace + sub-grid build fused in one shard_map;
-                # the output is already the pp-stacked grid pytree
-                stacked = ring_env["trace"](
-                    jnp.uint32(i * self.photon_count), jnp.float32(r),
-                    ring_env["consts"], ring_env["scene"])
-                dep_rows_shard = trace_photons.chunk * self.max_bounces
-            elif shard:
-                per_dev = trace_photons.sharded(
-                    jnp.uint32(i * self.photon_count))
-            else:
-                pos, nrm, flux, ok = trace_photons(
-                    jnp.uint32(i * self.photon_count))
-            if self.phase_cb is not None:
-                self.phase_cb("photon_trace",
-                              stacked if ring_full else
-                              per_dev if shard else (pos, nrm, flux, ok))
-            if self.verbose:
-                # the length pull is a host sync — only pay it when the
-                # telemetry is actually printed (quiet production runs keep
-                # the photon->grid->eye chain one uninterrupted dispatch)
-                n_photons = (
-                    int(stacked[2].sum()) if ring_full  # cell count table
-                    else sum(int(o[3].sum()) for o in per_dev) if shard
-                    else int(ok.sum()))
-                print(f"  photon map length = {n_photons} "
-                      f"({time.monotonic() - t_iter:.2f}s)", flush=True)
-            if ring_full:
-                pass  # grids already built in-program
-            elif shard:
-                per_dev, dep_rows_shard = PR.pad_deposits(
-                    per_dev, len(devices), devices) if ring \
-                    else (per_dev, None)
-                built = [build_one_grid(*o, r, need_stats=not ring)
-                         for o in per_dev]
-                sub_grids = [b[0] for b in built]
-                effs = [b[1] for b in built]
-            else:
-                grid, eff = build_one_grid(pos, nrm, flux, ok, r)
-                effs = [eff]
-            if ring:
-                band_rows = -(-self.height // len(devices))
-                if use_tile:  # tile kernel needs 32-row-aligned bands
-                    band_rows = -(-band_rows // 32) * 32
-            elif use_kernel:
-                # the Pallas gather keeps even dense bands well under the
-                # tunneled device's call ceiling (~0.5 s/band measured at
-                # 256 rows on caustic-dense cornell iterations), so bands
-                # are large to amortize the ~30 ms per-call dispatch
-                band_rows = min(256, self.height)
-                env_band = os.environ.get("PATHTRACER_PPM_BAND_ROWS")
-                if env_band:  # on-hardware sweep knob
-                    try:
-                        band_rows = min(max(32, int(env_band)), self.height)
-                    except ValueError:
-                        pass
-                if use_tile:
-                    band_rows = -(-band_rows // 32) * 32
-            else:
-                eff_bucket = max(effs)
-                rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
-                band_rows = 4
-                while band_rows * 2 <= min(64, self.height, rows_fit):
-                    band_rows *= 2
-                band_rows = min(band_rows, self.height)
-            if self.phase_cb is not None:
-                self.phase_cb("grid_build",
-                              stacked if ring_full else
-                              sub_grids if shard else grid)
-            n_bands = -(-self.height // band_rows)
-            eye_fn = eye_raw = None
-            if not ring:
-                eye_fn, eye_raw = get_eye_pass(band_rows)
-            # fan the independent bands out across devices: the photon map is
-            # replicated (device_put broadcast — the reference's shared
-            # immutable tree), bands round-robin, results stitched on host.
-            # This is the domainslib tile fan-out (integrator.ml:141-151)
-            # for the photon mapper. With shard_photon_map each device keeps
-            # its own sub-grid instead and bands gather a partial flux from
-            # every device.
-            if shard:
-                grids = [None] * len(devices)
-            elif len(devices) > 1:
-                grids = [jax.device_put(grid, dev) for dev in devices]
-            else:
-                grids = [grid]
-            if consts_dev is None and not ring:
-                # iteration-invariant: broadcast once (the ring branch
-                # keeps its own replicated copies in ring_env and never
-                # reads consts_dev/scene_dev — building both would double
-                # the per-device footprint of the BVH table + scene)
-                mesh_consts = (self.mesh.device_consts()
-                               if self.mesh is not None else None)
-                if len(devices) > 1:
-                    consts_dev = [jax.device_put(mesh_consts, dev)
-                                  for dev in devices] \
-                        if mesh_consts is not None else [None] * len(devices)
-                    scene_dev = [jax.device_put(self.scene, dev)
-                                 for dev in devices]
+            if fused:
+                tile_f = fused_fns["tile"]
+                tc = ((tile_f[1],) + tuple(tile_f[2][0])) if tile_f else ()
+                args = (jnp.uint32(i * self.photon_count),
+                        jnp.uint32(i * self.width * self.height),
+                        jnp.float32(r))
+                if dev_accum:
+                    img_sum, img_comp, segs, n_ph = fused_fns["iter"](
+                        *args, img_sum, img_comp, fused_fns["consts"],
+                        self.scene, *tc)
                 else:
-                    consts_dev = [mesh_consts]
-                    scene_dev = [self.scene]
-            tile = None if ring else get_tile(band_rows)
-            if tile is not None and len(devices) > 1:
-                tkey = (band_rows, "tables_dev")
-                if tkey not in tile_cache:  # big table: broadcast once
-                    tile_cache[tkey] = [jax.device_put(tile[1], dv)
-                                        for dv in devices]
-            futures = []
-            if ring:
-                from jax.sharding import NamedSharding, PartitionSpec
-                tile_r = get_tile(band_rows, min_bands=len(devices))
-                if tile_r is not None and "tile_stacked" not in ring_env:
-                    # iteration-invariant: table replicated, per-band
-                    # chunk maps stacked one-band-per-device over "pp"
-                    rep = NamedSharding(ring_env["jmesh"], PartitionSpec())
-                    shd = NamedSharding(ring_env["jmesh"],
-                                        PartitionSpec("pp"))
-                    maps = tuple(
-                        jax.device_put(jnp.stack([b[k] for b in tile_r[2]]),
-                                       shd) for k in range(3))
-                    ring_env["tile_stacked"] = (
-                        jax.device_put(tile_r[1], rep),) + maps
-                key = (band_rows, dep_rows_shard, tile_r is not None)
-                if key not in ring_env:
-                    raw = make_eye_pass(
-                        self.camera, self.width, self.height,
-                        self.max_bounces, self.photon_count,
-                        dep_rows_shard, self.backend, grid_m=grid_m,
-                        mesh=self.mesh, band_rows=band_rows,
-                        use_kernel=use_kernel, eff_bounces=eff_bounces,
-                        tile_static=tile_r[0] if tile_r else None)
-                    ring_env[key] = PR.make_ring_eye_pass(
-                        raw, ring_env["jmesh"], band_rows,
-                        with_tile=tile_r is not None)(dep_rows_shard)
-                if not ring_full:  # host-traced fallback: stack sub-grids
-                    stacked = PR.stack_sharded_grids(sub_grids,
-                                                     ring_env["jmesh"])
-                futures.append(ring_env[key](
-                    jnp.uint32(i * self.width * self.height),
-                    jnp.float32(r), stacked, ring_env["consts"],
-                    ring_env["scene"],
-                    *ring_env.get("tile_stacked", ())))
-            elif shard:
-                if band_rows not in shard_fns:
-                    shard_fns[band_rows] = (jax.jit(eye_raw.walk),
-                                            jax.jit(eye_raw.finish))
-                walk_fn, finish_fn = shard_fns[band_rows]
-                sub_gathers = []
-                for g in sub_grids:
-                    # hash-grid tuple: photon positions at slot 3; the
-                    # kernel-tier gather ignores dep_lanes
-                    dl = 0 if use_kernel else int(g[3].shape[0])
-                    if dl not in gather_jits:
-                        gather_jits[dl] = jax.jit(eye_raw.make_gather(dl))
-                    sub_gathers.append(gather_jits[dl])
-                rj = jnp.float32(r)
-                for bi in range(n_bands):
-                    dev = bi % len(devices)
-                    put = lambda x: jax.device_put(x, devices[dev])
-                    wargs = [put(jnp.uint32(i * self.width * self.height)),
-                             put(jnp.int32(bi * band_rows)),
-                             consts_dev[dev], scene_dev[dev]]
-                    if tile is not None:
-                        tbl = tile_cache[(band_rows, "tables_dev")][dev]
-                        wargs.append((tbl,)
-                                     + tuple(put(x) for x in tile[2][bi]))
-                    fd_pt, fd_nrm, fd_beta, fd_ok = walk_fn(*wargs)
-                    # partial flux per sub-grid, summed in FIXED sub-grid
-                    # order (deterministic; association differs from the
-                    # replicated map by FP reassociation only)
-                    fsum = None
-                    for g, gf in zip(sub_grids, sub_gathers):
-                        gdev = next(iter(g[0].devices()))
-                        part = gf(jax.device_put(fd_pt, gdev),
-                                  jax.device_put(fd_nrm, gdev),
-                                  jax.device_put(fd_ok, gdev),
-                                  jax.device_put(rj, gdev), g)
-                        part = jax.device_put(part, devices[dev])
-                        fsum = part if fsum is None else fsum + part
-                    futures.append(finish_fn(fd_beta, fd_ok, fsum, put(rj)))
+                    band, segs, n_ph = fused_fns["iter"](
+                        *args, fused_fns["consts"], self.scene, *tc)
+                    img_sum += np.asarray(band, np.float64)
+                trace_photons.last_segments = [segs]
+                if self.verbose:
+                    print(f"  photon map length = {int(n_ph)} "
+                          f"({time.monotonic() - t_iter:.2f}s)", flush=True)
             else:
-                for bi in range(n_bands):
-                    dev = bi % len(grids)
-                    if len(grids) > 1:
-                        put = lambda x: jax.device_put(x, devices[dev])
+                if ring_full:
+                    # photon trace + sub-grid build fused in one shard_map;
+                    # the output is already the pp-stacked grid pytree
+                    stacked = ring_env["trace"](
+                        jnp.uint32(i * self.photon_count), jnp.float32(r),
+                        ring_env["consts"], ring_env["scene"])
+                    dep_rows_shard = trace_photons.chunk * self.max_bounces
+                elif shard:
+                    per_dev = trace_photons.sharded(
+                        jnp.uint32(i * self.photon_count))
+                else:
+                    pos, nrm, flux, ok = trace_photons(
+                        jnp.uint32(i * self.photon_count))
+                if self.phase_cb is not None:
+                    self.phase_cb("photon_trace",
+                                  stacked if ring_full else
+                                  per_dev if shard else (pos, nrm, flux, ok))
+                if self.verbose:
+                    # the length pull is a host sync — only pay it when the
+                    # telemetry is actually printed (quiet production runs keep
+                    # the photon->grid->eye chain one uninterrupted dispatch)
+                    n_photons = (
+                        int(stacked[2].sum()) if ring_full  # cell count table
+                        else sum(int(o[3].sum()) for o in per_dev) if shard
+                        else int(ok.sum()))
+                    print(f"  photon map length = {n_photons} "
+                          f"({time.monotonic() - t_iter:.2f}s)", flush=True)
+                if ring_full:
+                    pass  # grids already built in-program
+                elif shard:
+                    per_dev, dep_rows_shard = PR.pad_deposits(
+                        per_dev, len(devices), devices) if ring \
+                        else (per_dev, None)
+                    built = [build_one_grid(*o, r, need_stats=not ring)
+                             for o in per_dev]
+                    sub_grids = [b[0] for b in built]
+                    effs = [b[1] for b in built]
+                else:
+                    grid, eff = build_one_grid(pos, nrm, flux, ok, r)
+                    effs = [eff]
+                if ring:
+                    band_rows = -(-self.height // len(devices))
+                    if use_tile:  # tile kernel needs 32-row-aligned bands
+                        band_rows = -(-band_rows // 32) * 32
+                elif use_kernel:
+                    # the Pallas gather keeps even dense bands well under the
+                    # tunneled device's call ceiling (~0.5 s/band measured at
+                    # 256 rows on caustic-dense cornell iterations), so bands
+                    # are large to amortize the ~30 ms per-call dispatch
+                    band_rows = min(256, self.height)
+                    env_band = os.environ.get("PATHTRACER_PPM_BAND_ROWS")
+                    if env_band:  # on-hardware sweep knob
+                        try:
+                            band_rows = min(max(32, int(env_band)), self.height)
+                        except ValueError:
+                            pass
+                    if use_tile:
+                        band_rows = -(-band_rows // 32) * 32
+                else:
+                    eff_bucket = max(effs)
+                    rows_fit = lane_iter_budget / (27.0 * eff_bucket * self.width)
+                    band_rows = 4
+                    while band_rows * 2 <= min(64, self.height, rows_fit):
+                        band_rows *= 2
+                    band_rows = min(band_rows, self.height)
+                if self.phase_cb is not None:
+                    self.phase_cb("grid_build",
+                                  stacked if ring_full else
+                                  sub_grids if shard else grid)
+                n_bands = -(-self.height // band_rows)
+                eye_fn = eye_raw = None
+                if not ring:
+                    eye_fn, eye_raw = get_eye_pass(band_rows)
+                # fan the independent bands out across devices: the photon map is
+                # replicated (device_put broadcast — the reference's shared
+                # immutable tree), bands round-robin, results stitched on host.
+                # This is the domainslib tile fan-out (integrator.ml:141-151)
+                # for the photon mapper. With shard_photon_map each device keeps
+                # its own sub-grid instead and bands gather a partial flux from
+                # every device.
+                if shard:
+                    grids = [None] * len(devices)
+                elif len(devices) > 1:
+                    grids = [jax.device_put(grid, dev) for dev in devices]
+                else:
+                    grids = [grid]
+                if consts_dev is None and not ring:
+                    # iteration-invariant: broadcast once (the ring branch
+                    # keeps its own replicated copies in ring_env and never
+                    # reads consts_dev/scene_dev — building both would double
+                    # the per-device footprint of the BVH table + scene)
+                    mesh_consts = (self.mesh.device_consts()
+                                   if self.mesh is not None else None)
+                    if len(devices) > 1:
+                        consts_dev = [jax.device_put(mesh_consts, dev)
+                                      for dev in devices] \
+                            if mesh_consts is not None else [None] * len(devices)
+                        scene_dev = [jax.device_put(self.scene, dev)
+                                     for dev in devices]
                     else:
-                        put = lambda x: x
-                    args = [
-                        put(jnp.uint32(i * self.width * self.height)),
-                        put(jnp.float32(r)), grids[dev],
-                        put(jnp.int32(bi * band_rows)),
-                        consts_dev[dev], scene_dev[dev]]
-                    if tile is not None:
-                        tbl = (tile_cache[(band_rows, "tables_dev")][dev]
-                               if len(grids) > 1 else tile[1])
-                        args.append((tbl,)
-                                    + tuple(put(x) for x in tile[2][bi]))
-                    futures.append(eye_fn(*args))
-            if self.phase_cb is not None:
-                self.phase_cb("bands_dispatched", futures)
-            if dev_accum:
-                img_sum, img_comp = _accum_bands(img_sum, img_comp, *futures)
-            else:
-                img = np.concatenate([np.asarray(b, np.float64)
-                                      for b in futures])[:self.height]
-                img_sum += img[::-1]  # reference writes row (height-1-y)
-            if self.phase_cb is not None:
-                self.phase_cb("stitch", None)
+                        consts_dev = [mesh_consts]
+                        scene_dev = [self.scene]
+                tile = None if ring else get_tile(band_rows)
+                if tile is not None and len(devices) > 1:
+                    tkey = (band_rows, "tables_dev")
+                    if tkey not in tile_cache:  # big table: broadcast once
+                        tile_cache[tkey] = [jax.device_put(tile[1], dv)
+                                            for dv in devices]
+                futures = []
+                if ring:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    tile_r = get_tile(band_rows, min_bands=len(devices))
+                    if tile_r is not None and "tile_stacked" not in ring_env:
+                        # iteration-invariant: table replicated, per-band
+                        # chunk maps stacked one-band-per-device over "pp"
+                        rep = NamedSharding(ring_env["jmesh"], PartitionSpec())
+                        shd = NamedSharding(ring_env["jmesh"],
+                                            PartitionSpec("pp"))
+                        maps = tuple(
+                            jax.device_put(jnp.stack([b[k] for b in tile_r[2]]),
+                                           shd) for k in range(3))
+                        ring_env["tile_stacked"] = (
+                            jax.device_put(tile_r[1], rep),) + maps
+                    key = (band_rows, dep_rows_shard, tile_r is not None)
+                    if key not in ring_env:
+                        raw = make_eye_pass(
+                            self.camera, self.width, self.height,
+                            self.max_bounces, self.photon_count,
+                            dep_rows_shard, self.backend, grid_m=grid_m,
+                            mesh=self.mesh, band_rows=band_rows,
+                            use_kernel=use_kernel, eff_bounces=eff_bounces,
+                            tile_static=tile_r[0] if tile_r else None)
+                        ring_env[key] = PR.make_ring_eye_pass(
+                            raw, ring_env["jmesh"], band_rows,
+                            with_tile=tile_r is not None)(dep_rows_shard)
+                    if not ring_full:  # host-traced fallback: stack sub-grids
+                        stacked = PR.stack_sharded_grids(sub_grids,
+                                                         ring_env["jmesh"])
+                    futures.append(ring_env[key](
+                        jnp.uint32(i * self.width * self.height),
+                        jnp.float32(r), stacked, ring_env["consts"],
+                        ring_env["scene"],
+                        *ring_env.get("tile_stacked", ())))
+                elif shard:
+                    if band_rows not in shard_fns:
+                        shard_fns[band_rows] = (jax.jit(eye_raw.walk),
+                                                jax.jit(eye_raw.finish))
+                    walk_fn, finish_fn = shard_fns[band_rows]
+                    sub_gathers = []
+                    for g in sub_grids:
+                        # hash-grid tuple: photon positions at slot 3; the
+                        # kernel-tier gather ignores dep_lanes
+                        dl = 0 if use_kernel else int(g[3].shape[0])
+                        if dl not in gather_jits:
+                            gather_jits[dl] = jax.jit(eye_raw.make_gather(dl))
+                        sub_gathers.append(gather_jits[dl])
+                    rj = jnp.float32(r)
+                    for bi in range(n_bands):
+                        dev = bi % len(devices)
+                        put = lambda x: jax.device_put(x, devices[dev])
+                        wargs = [put(jnp.uint32(i * self.width * self.height)),
+                                 put(jnp.int32(bi * band_rows)),
+                                 consts_dev[dev], scene_dev[dev]]
+                        if tile is not None:
+                            tbl = tile_cache[(band_rows, "tables_dev")][dev]
+                            wargs.append((tbl,)
+                                         + tuple(put(x) for x in tile[2][bi]))
+                        fd_pt, fd_nrm, fd_beta, fd_ok = walk_fn(*wargs)
+                        # partial flux per sub-grid, summed in FIXED sub-grid
+                        # order (deterministic; association differs from the
+                        # replicated map by FP reassociation only)
+                        fsum = None
+                        for g, gf in zip(sub_grids, sub_gathers):
+                            gdev = next(iter(g[0].devices()))
+                            part = gf(jax.device_put(fd_pt, gdev),
+                                      jax.device_put(fd_nrm, gdev),
+                                      jax.device_put(fd_ok, gdev),
+                                      jax.device_put(rj, gdev), g)
+                            part = jax.device_put(part, devices[dev])
+                            fsum = part if fsum is None else fsum + part
+                        futures.append(finish_fn(fd_beta, fd_ok, fsum, put(rj)))
+                else:
+                    for bi in range(n_bands):
+                        dev = bi % len(grids)
+                        if len(grids) > 1:
+                            put = lambda x: jax.device_put(x, devices[dev])
+                        else:
+                            put = lambda x: x
+                        args = [
+                            put(jnp.uint32(i * self.width * self.height)),
+                            put(jnp.float32(r)), grids[dev],
+                            put(jnp.int32(bi * band_rows)),
+                            consts_dev[dev], scene_dev[dev]]
+                        if tile is not None:
+                            tbl = (tile_cache[(band_rows, "tables_dev")][dev]
+                                   if len(grids) > 1 else tile[1])
+                            args.append((tbl,)
+                                        + tuple(put(x) for x in tile[2][bi]))
+                        futures.append(eye_fn(*args))
+                if self.phase_cb is not None:
+                    self.phase_cb("bands_dispatched", futures)
+                if dev_accum:
+                    img_sum, img_comp = _accum_bands(img_sum, img_comp, *futures)
+                else:
+                    img = np.concatenate([np.asarray(b, np.float64)
+                                          for b in futures])[:self.height]
+                    img_sum += img[::-1]  # reference writes row (height-1-y)
+                if self.phase_cb is not None:
+                    self.phase_cb("stitch", None)
             if self.verbose:
                 print(f"  iteration wall = "
                       f"{time.monotonic() - t_iter:.2f}s", flush=True)
