@@ -94,3 +94,17 @@ def build(path: str, aspect: float):
         Light.spot((0.0, 0.0, 1.0), (0.0, 0.0, -1.0), power=3000.0),
     ]
     return scene, cam, lights, mesh, (lo, hi)
+
+
+def build_pt(path: str, aspect: float):
+    """Path-traced ganesha: the same 449k-tri mesh + checkered floor under
+    the shirley sky gradient instead of spot-lit PPM. Not a reference
+    executable — it exists to measure the BVH8-walk wavefront in the same
+    Mrays/s units as the headline (the reference's integrator library is
+    scene-agnostic, path_tracer/src/integrator.mli:4-16, so a path-traced
+    mesh scene is in-contract). Returns (scene, camera, background, mesh).
+    """
+    from .shirley import background
+
+    scene, cam, _lights, mesh, _bbox = build(path, aspect)
+    return scene, cam, background, mesh
