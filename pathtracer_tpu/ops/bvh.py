@@ -896,11 +896,18 @@ def make_mesh_traverser_bvh8(table_np, node_end, stride, root_lo, root_hi):
         # on this device, and an extra body on an all-done state is the
         # identity, so unrolling stays bit-exact (caps round up to a
         # multiple of the unroll). PATHTRACER_WALK_UNROLL sweeps it.
+        # NOTE: read at TRACE time — once the jit cache is warm for a
+        # shape, changing it in-process has no effect (use fresh
+        # processes for sweeps). Values outside [1, 16] are ignored:
+        # each unroll step clones the whole body into the traced graph,
+        # so an unbounded value would explode trace/compile time.
         unroll = 2
         env_u = os.environ.get("PATHTRACER_WALK_UNROLL")
         if env_u:  # hardware sweep knob; malformed values ignored
             try:
-                unroll = max(1, int(env_u))
+                v = int(env_u)
+                if 1 <= v <= 16:
+                    unroll = v
             except ValueError:
                 pass
 
