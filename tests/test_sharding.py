@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -391,3 +392,59 @@ def test_ppm_mesh_scene_multi_device_matches_single(tmp_path):
                            mesh=mesh, bbox_override=bbox, devices=devices)
         imgs.append(rend.render())
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+@pytest.mark.slow
+def test_ppm_ring_memory_scaling_production_photon_count(tmp_path):
+    """The ring photon map's 1/n_devices memory claim at production scale:
+    8x the reference's default -photon-count (600k = 8x75k,
+    progressive_photon_map.ml:17-54 accepts arbitrary counts) over the
+    8-device mesh on a mesh scene. Asserts (a) each device's hash tables
+    are sized from its OWN photon share — grid_m_for(600k, 8) is exactly
+    1/8 of the replicated grid_m_for(600k, 1), interacting correctly with
+    the 2^24 cap — (b) the stacked sub-grid pytree really is laid out
+    one-sub-grid-per-device, deposits included, and (c) the image matches
+    the replicated photon map up to FP reassociation of the flux sum."""
+    import os
+
+    from tools.make_test_mesh import uv_sphere
+    from pathtracer_tpu.io import ply
+    from pathtracer_tpu.models import ganesha
+    from pathtracer_tpu.ppm import PPMRenderer, grid_m_for
+
+    n = 600_000
+    n_dev = len(jax.devices())
+    m_rep, m_ring = grid_m_for(n, 1), grid_m_for(n, n_dev)
+    assert m_rep == n_dev * m_ring  # both in-range of the [2^17, 2^24] clamp
+
+    verts, faces = uv_sphere(10, 6, np.array([328.0, 60.0, 150.0]), 45.0)
+    path = os.path.join(str(tmp_path), "tiny_ganesha.ply")
+    ply.write_mesh(path, verts, faces)
+    grids, imgs = {}, {}
+    for mode, devices in (("ring", jax.devices()),
+                          (False, jax.devices()[:1])):
+        scene, cam, lights, mesh, bbox = ganesha.build(path, 1.0)
+        rend = PPMRenderer(
+            scene, cam, lights, 64, 64, iterations=1, photon_count=n,
+            max_bounces=3, verbose=False, mesh=mesh, bbox_override=bbox,
+            devices=devices, shard_photon_map=mode,
+            phase_cb=lambda name, v, _m=mode: grids.__setitem__(
+                (name, _m), v))
+        imgs[mode] = np.asarray(rend.render())
+
+    # per-device sub-grid hash tables: (n_dev, m_ring), i.e. 1/n_dev the
+    # replicated table per chip; deposits stacked one-share-per-device
+    order, start, count, pos = jax.tree.leaves(grids[("grid_build",
+                                                      "ring")])[:4]
+    assert start.shape == count.shape == (n_dev, m_ring)
+    rep_leaves = jax.tree.leaves(grids[("grid_build", False)])
+    rep_start, rep_pos = rep_leaves[1], rep_leaves[3]
+    assert rep_start.shape == (m_rep,)
+    assert pos.shape[0] == n_dev
+    # deposit share: 1/n_dev of the replicated rows + the per-chunk
+    # 1024-lane x max_bounces rounding pad
+    assert pos.shape[1] <= -(-rep_pos.shape[0] // n_dev) + 3 * 1024
+    # every device holds exactly one shard of the stacked pytree
+    assert len(start.sharding.device_set) == n_dev
+    np.testing.assert_allclose(imgs["ring"], imgs[False],
+                               atol=1e-6, rtol=1e-4)
