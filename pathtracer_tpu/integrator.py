@@ -372,17 +372,30 @@ def _trace_pallas2(scene, sampler, org, d, offset, max_bounces, background,
 
     flush = jnp.zeros((3, rows, sk.LANES), jnp.float32)
 
+    # single fused intersect+shade kernel per bounce (the default): the
+    # winner's at/idx stay in registers instead of round-tripping HBM
+    # between two kernels. PATHTRACER_FUSE_BOUNCE=0 restores the
+    # two-kernel pipeline for A/B (bit-identical by construction).
+    fuse_bounce = os.environ.get("PATHTRACER_FUSE_BOUNCE", "1") != "0"
+
     def bounce_step(state, rad_t, off_rows, bounce):
         """One intersect+shade bounce at whatever (static) size `state` has."""
         # bounce 0 in tiled ray order: per-tile frustum-culled sphere lists
         # (block layout only matches the tile grid before any compaction,
         # and compact_at bounces are all > 0)
         bl = block_lists0 if bounce == 0 else None
+        du, dv = 2 + 2 * bounce, 3 + 2 * bounce
+        limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
+        if fuse_bounce:
+            from .ops.pallas import fused_bounce_kernel as fbk
+            return fbk.fused_bounce_pallas(
+                tables, state, pack_t, off_rows, limbs, bg_colors,
+                rad_in=rad_t, bg_mode=bg_mode,
+                origin_zero=(origin_zero and bounce == 0),
+                block_lists=bl, interpret=interpret)
         at, idx = sk.intersect_state_pallas(
             tables, state, interpret=interpret,
             origin_zero=(origin_zero and bounce == 0), block_lists=bl)
-        du, dv = 2 + 2 * bounce, 3 + 2 * bounce
-        limbs = jnp.asarray([[hi[du], lo[du]], [hi[dv], lo[dv]]], jnp.uint32)
         st2, rad_new = shk.shade_pallas(state, pack_t, idx, off_rows, at,
                                         limbs, bg_colors, rad_in=rad_t,
                                         bg_mode=bg_mode,

@@ -150,10 +150,216 @@ def pack_material_tables(shade_pack):
     return tab.reshape(PK_PLANES, -1, 128)
 
 
+def shade_body(limb_ref, bg_ref, tab_ref, st_ref, off_ref, idx, hit,
+               rad_in_ref, out_st_ref, rad_ref, bg_mode):
+    """The full shading stage on register inputs: `idx` (winner index) and
+    `hit` (bool mask) are VPU registers, so the fused bounce kernel
+    (fused_bounce_kernel.py) can feed them straight from its in-register
+    intersection loop with no at/idx round trip through HBM. The
+    shade-only kernel below derives them from its at/idx input refs."""
+    o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
+    d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
+    a0, a1, a2 = st_ref[6], st_ref[7], st_ref[8]
+    alive = st_ref[9] > 0.0
+    a_q = d0 * d0 + d1 * d1 + d2 * d2
+    inv_a = 1.0 / a_q
+
+    # in-register winner gather: the (10, Sq, 128) packed table is
+    # VMEM-resident; each lane pulls its winner's 10 values with a
+    # lane shuffle per 128-wide slice + a select over slices. This
+    # replaces the XLA pk gather between the kernels (~0.4 ms/bounce
+    # of fixed op cost at any payload width).
+    blk = idx.shape
+    qi = jax.lax.shift_right_logical(idx, 7)
+    r = idx & jnp.int32(127)
+    n_sl = tab_ref.shape[1]
+    pk = []
+    for p in range(10):
+        acc = jnp.zeros(blk, jnp.float32)
+        for qslice in range(n_sl):
+            row = jnp.broadcast_to(tab_ref[p, qslice, :][None, :], blk)
+            g = jnp.take_along_axis(row, r, axis=1)
+            acc = jnp.where(qi == qslice, g, acc) if n_sl > 1 else g
+        pk.append(acc)
+
+    cx, cy, cz, rad_s = pk[0], pk[1], pk[2], pk[3]
+    ior, cw, ch = pk[4], pk[5], pk[6]
+    ior_inv = 1.0 / jnp.maximum(ior, np.float32(1e-30))
+    ubc = lambda p: jax.lax.bitcast_convert_type(p, jnp.uint32)
+    u0, u1, u2 = ubc(pk[7]), ubc(pk[8]), ubc(pk[9])
+    m15 = jnp.uint32(0x7FFF)
+    c15 = np.float32(1.0 / _Q15)
+    c16 = np.float32(1.0 / _Q16)
+
+    def f15(u):  # low-15-bits fixed point -> f32 (Mosaic: via int32)
+        return (u & m15).astype(jnp.int32).astype(jnp.float32) * c15
+
+    ca0, ca1 = f15(u0), f15(u0 >> 15)
+    ca2, cb0 = f15(u1), f15(u1 >> 15)
+    cb1 = ((u2 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+           .astype(jnp.float32) * c16)
+    cb2 = (u2 >> 16).astype(jnp.int32).astype(jnp.float32) * c16
+    mat_u = u0 >> 30
+    tex_u = u1 >> 30
+
+    # stable t (sphere.ml:35-54) from the winner's params
+    f0, f1, f2 = cx - o0, cy - o1, cz - o2
+    bp = f0 * d0 + f1 * d1 + f2 * d2
+    quad_f = f0 * f0 + f1 * f1 + f2 * f2
+    r2 = rad_s * rad_s
+    c_c = quad_f - r2
+    disc = r2 - quad_f + bp * bp * inv_a
+    sgn = jnp.where(bp >= 0.0, np.float32(1.0), np.float32(-1.0))
+    qq = sgn * jnp.sqrt(jnp.maximum(a_q * disc, 0.0)) + bp
+    t = jnp.where(c_c > 0.0, c_c / qq, qq * inv_a)
+
+    # hit point + flipped normal
+    p0, p1, p2 = o0 + t * d0, o1 + t * d1, o2 + t * d2
+    n0, n1, n2 = p0 - cx, p1 - cy, p2 - cz
+    ninv = jax.lax.rsqrt(jnp.maximum(n0 * n0 + n1 * n1 + n2 * n2,
+                                     np.float32(1e-38)))
+    n0, n1, n2 = n0 * ninv, n1 * ninv, n2 * ninv
+    ddn = d0 * n0 + d1 * n1 + d2 * n2
+    front = ddn < 0.0
+    fs = jnp.where(front, np.float32(1.0), np.float32(-1.0))
+    n0, n1, n2 = n0 * fs, n1 * fs, n2 * fs
+
+    # spherical uv (sphere.ml:25-33)
+    theta = _acos(jnp.clip(-n1, -1.0, 1.0))
+    phi = _PI + _atan2(-n2, n0)
+    u_t = phi * _TWO_PI_INV
+    v_t = theta * _PI_INV
+    # checker parity (texture.ml:20-31)
+    pxp = jnp.trunc(u_t * cw).astype(jnp.int32) & 1
+    pyp = jnp.trunc(v_t * ch).astype(jnp.int32) & 1
+    even = pxp == pyp
+    is_check = tex_u == jnp.uint32(1)
+    alb0 = jnp.where(is_check & ~even, cb0, ca0)
+    alb1 = jnp.where(is_check & ~even, cb1, ca1)
+    alb2 = jnp.where(is_check & ~even, cb2, ca2)
+
+    # tangent frame quaternion (shader_space.ml:11-23)
+    eps = np.float32(1e-6)
+    gw = 1.0 + n2
+    gnorm = jax.lax.rsqrt(jnp.maximum(gw * gw + n1 * n1 + n0 * n0,
+                                      np.float32(1e-38)))
+    qw = gw * gnorm
+    qx = n1 * gnorm
+    qy = -n0 * gnorm
+    # poles: z ~ +1 -> identity; z ~ -1 -> (0, (0,1,0))
+    top = n2 > 1.0 - eps
+    bot = n2 < eps - 1.0
+    qw = jnp.where(top, 1.0, jnp.where(bot, 0.0, qw))
+    qx = jnp.where(top | bot, 0.0, qx)
+    qy = jnp.where(top, 0.0, jnp.where(bot, 1.0, qy))
+    # qz = 0 always for this construction
+
+    def rot(qw, qx, qy, v0, v1, v2, inv):
+        # rotate v by quat (qw, qx, qy, 0); inv negates the vector part
+        s = np.float32(-1.0) if inv else np.float32(1.0)
+        rx, ry = qx * s, qy * s
+        # t = 2 * cross(qv, v), qv = (rx, ry, 0)
+        t0 = 2.0 * (ry * v2)
+        t1 = 2.0 * (-rx * v2)
+        t2 = 2.0 * (rx * v1 - ry * v0)
+        # v + w*t + cross(qv, t)
+        w0 = v0 + qw * t0 + (ry * t2)
+        w1 = v1 + qw * t1 + (-rx * t2)
+        w2 = v2 + qw * t2 + (rx * t1 - ry * t0)
+        return w0, w1, w2
+
+    wi0, wi1, wi2 = rot(qw, qx, qy, -d0, -d1, -d2, False)
+
+    # LDS draws
+    off = off_ref[:]
+    u = _lds(off, limb_ref[0, 0], limb_ref[0, 1])
+    v = _lds(off, limb_ref[1, 0], limb_ref[1, 1])
+
+    # --- scatter (material.ml:22-57) ---
+    # lambertian: cosine hemisphere
+    rr = jnp.sqrt(u)
+    th = v * np.float32(2.0 * np.pi)
+    lam0 = rr * jnp.cos(th)
+    lam1 = rr * jnp.sin(th)
+    lam2 = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
+    lam_ok = lam2 > 0.0
+    # metal: mirror + tint
+    met0, met1, met2 = -wi0, -wi1, wi2
+    met_ok = met2 > 0.0
+    s5 = (1.0 - wi2)
+    s5 = s5 * s5 * s5 * s5 * s5
+    tn0 = alb0 + (1.0 - alb0) * s5
+    tn1 = alb1 + (1.0 - alb1) * s5
+    tn2 = alb2 + (1.0 - alb2) * s5
+    # dielectric
+    ci = jnp.clip(wi2, 0.0, 1.0)
+    si = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 0.0))
+    ratio = jnp.where(front, ior_inv, ior)
+    r0s = (1.0 - ratio) / (1.0 + ratio)
+    r0s = r0s * r0s
+    omc = 1.0 - ci
+    omc5 = omc * omc * omc * omc * omc
+    schl = r0s + (1.0 - r0s) * omc5
+    do_refl = (ratio * si > 1.0) | (schl > u)
+    # refract (shader_space.ml:41-49)
+    cc = jnp.minimum(wi2, 1.0)
+    pe0 = ratio * (-wi0)
+    pe1 = ratio * (-wi1)
+    pe2 = ratio * (cc - wi2)
+    para = -jnp.sqrt(jnp.abs(1.0 - (pe0 * pe0 + pe1 * pe1 + pe2 * pe2)))
+    die0 = jnp.where(do_refl, met0, pe0)
+    die1 = jnp.where(do_refl, met1, pe1)
+    die2 = jnp.where(do_refl, met2, pe2 + para)
+
+    is_met = mat_u == jnp.uint32(1)
+    is_die = mat_u == jnp.uint32(2)
+    wo0 = jnp.where(is_die, die0, jnp.where(is_met, met0, lam0))
+    wo1 = jnp.where(is_die, die1, jnp.where(is_met, met1, lam1))
+    wo2 = jnp.where(is_die, die2, jnp.where(is_met, met2, lam2))
+    am0 = jnp.where(is_die, 1.0, jnp.where(is_met, tn0, alb0))
+    am1 = jnp.where(is_die, 1.0, jnp.where(is_met, tn1, alb1))
+    am2 = jnp.where(is_die, 1.0, jnp.where(is_met, tn2, alb2))
+    ok = is_die | (is_met & met_ok) | (~is_die & ~is_met & lam_ok)
+
+    # world ray (shader_space.ml:51-54)
+    dw0, dw1, dw2 = rot(qw, qx, qy, wo0, wo1, wo2, True)
+    shadow = np.float32(1e-3)
+    no0 = p0 + shadow * dw0
+    no1 = p1 + shadow * dw1
+    no2 = p2 + shadow * dw2
+
+    # miss: background radiance (rad += attn * bg)
+    miss = alive & ~hit
+    if bg_mode == 1:
+        tt = 0.5 * (d1 + 1.0)
+        b0 = bg_ref[0, 0] * (1.0 - tt) + bg_ref[1, 0] * tt
+        b1 = bg_ref[0, 1] * (1.0 - tt) + bg_ref[1, 1] * tt
+        b2 = bg_ref[0, 2] * (1.0 - tt) + bg_ref[1, 2] * tt
+    else:
+        b0 = jnp.full_like(d0, bg_ref[0, 0])
+        b1 = jnp.full_like(d0, bg_ref[0, 1])
+        b2 = jnp.full_like(d0, bg_ref[0, 2])
+    zero = jnp.zeros_like(d0)
+    rad_ref[0] = rad_in_ref[0] + jnp.where(miss, a0 * b0, zero)
+    rad_ref[1] = rad_in_ref[1] + jnp.where(miss, a1 * b1, zero)
+    rad_ref[2] = rad_in_ref[2] + jnp.where(miss, a2 * b2, zero)
+
+    new_alive = hit & ok
+    out_st_ref[0] = jnp.where(new_alive, no0, o0)
+    out_st_ref[1] = jnp.where(new_alive, no1, o1)
+    out_st_ref[2] = jnp.where(new_alive, no2, o2)
+    out_st_ref[3] = jnp.where(new_alive, dw0, d0)
+    out_st_ref[4] = jnp.where(new_alive, dw1, d1)
+    out_st_ref[5] = jnp.where(new_alive, dw2, d2)
+    out_st_ref[6] = jnp.where(new_alive, a0 * am0, a0)
+    out_st_ref[7] = jnp.where(new_alive, a1 * am1, a1)
+    out_st_ref[8] = jnp.where(new_alive, a2 * am2, a2)
+    out_st_ref[9] = new_alive.astype(jnp.float32)
+
+
 def _kernel(limb_ref, bg_ref, tab_ref, st_ref, idx_ref, off_ref, at_ref_in,
             rad_in_ref, out_st_ref, rad_ref, *, bg_mode):
-    alive = st_ref[9]
-    any_alive = jnp.max(alive) > 0.0
+    any_alive = jnp.max(st_ref[9]) > 0.0
     # default outputs: passthrough state and accumulated radiance (the
     # radiance accumulator rides THROUGH the kernel so dead blocks skip
     # the XLA-side add entirely)
@@ -162,206 +368,11 @@ def _kernel(limb_ref, bg_ref, tab_ref, st_ref, idx_ref, off_ref, at_ref_in,
 
     @pl.when(any_alive)
     def _run():
-        o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
-        d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
-        a0, a1, a2 = st_ref[6], st_ref[7], st_ref[8]
         alive = st_ref[9] > 0.0
         hit = (at_ref_in[:] < BIG) & alive
-        a_q = d0 * d0 + d1 * d1 + d2 * d2
-        inv_a = 1.0 / a_q
+        shade_body(limb_ref, bg_ref, tab_ref, st_ref, off_ref, idx_ref[:],
+                   hit, rad_in_ref, out_st_ref, rad_ref, bg_mode)
 
-        # in-register winner gather: the (10, Sq, 128) packed table is
-        # VMEM-resident; each lane pulls its winner's 10 values with a
-        # lane shuffle per 128-wide slice + a select over slices. This
-        # replaces the XLA pk gather between the kernels (~0.4 ms/bounce
-        # of fixed op cost at any payload width).
-        idx = idx_ref[:]
-        blk = idx.shape
-        qi = jax.lax.shift_right_logical(idx, 7)
-        r = idx & jnp.int32(127)
-        n_sl = tab_ref.shape[1]
-        pk = []
-        for p in range(10):
-            acc = jnp.zeros(blk, jnp.float32)
-            for qslice in range(n_sl):
-                row = jnp.broadcast_to(tab_ref[p, qslice, :][None, :], blk)
-                g = jnp.take_along_axis(row, r, axis=1)
-                acc = jnp.where(qi == qslice, g, acc) if n_sl > 1 else g
-            pk.append(acc)
-
-        cx, cy, cz, rad_s = pk[0], pk[1], pk[2], pk[3]
-        ior, cw, ch = pk[4], pk[5], pk[6]
-        ior_inv = 1.0 / jnp.maximum(ior, np.float32(1e-30))
-        ubc = lambda p: jax.lax.bitcast_convert_type(p, jnp.uint32)
-        u0, u1, u2 = ubc(pk[7]), ubc(pk[8]), ubc(pk[9])
-        m15 = jnp.uint32(0x7FFF)
-        c15 = np.float32(1.0 / _Q15)
-        c16 = np.float32(1.0 / _Q16)
-
-        def f15(u):  # low-15-bits fixed point -> f32 (Mosaic: via int32)
-            return (u & m15).astype(jnp.int32).astype(jnp.float32) * c15
-
-        ca0, ca1 = f15(u0), f15(u0 >> 15)
-        ca2, cb0 = f15(u1), f15(u1 >> 15)
-        cb1 = ((u2 & jnp.uint32(0xFFFF)).astype(jnp.int32)
-               .astype(jnp.float32) * c16)
-        cb2 = (u2 >> 16).astype(jnp.int32).astype(jnp.float32) * c16
-        mat_u = u0 >> 30
-        tex_u = u1 >> 30
-
-        # stable t (sphere.ml:35-54) from the winner's params
-        f0, f1, f2 = cx - o0, cy - o1, cz - o2
-        bp = f0 * d0 + f1 * d1 + f2 * d2
-        quad_f = f0 * f0 + f1 * f1 + f2 * f2
-        r2 = rad_s * rad_s
-        c_c = quad_f - r2
-        disc = r2 - quad_f + bp * bp * inv_a
-        sgn = jnp.where(bp >= 0.0, np.float32(1.0), np.float32(-1.0))
-        qq = sgn * jnp.sqrt(jnp.maximum(a_q * disc, 0.0)) + bp
-        t = jnp.where(c_c > 0.0, c_c / qq, qq * inv_a)
-
-        # hit point + flipped normal
-        p0, p1, p2 = o0 + t * d0, o1 + t * d1, o2 + t * d2
-        n0, n1, n2 = p0 - cx, p1 - cy, p2 - cz
-        ninv = jax.lax.rsqrt(jnp.maximum(n0 * n0 + n1 * n1 + n2 * n2,
-                                         np.float32(1e-38)))
-        n0, n1, n2 = n0 * ninv, n1 * ninv, n2 * ninv
-        ddn = d0 * n0 + d1 * n1 + d2 * n2
-        front = ddn < 0.0
-        fs = jnp.where(front, np.float32(1.0), np.float32(-1.0))
-        n0, n1, n2 = n0 * fs, n1 * fs, n2 * fs
-
-        # spherical uv (sphere.ml:25-33)
-        theta = _acos(jnp.clip(-n1, -1.0, 1.0))
-        phi = _PI + _atan2(-n2, n0)
-        u_t = phi * _TWO_PI_INV
-        v_t = theta * _PI_INV
-        # checker parity (texture.ml:20-31)
-        pxp = jnp.trunc(u_t * cw).astype(jnp.int32) & 1
-        pyp = jnp.trunc(v_t * ch).astype(jnp.int32) & 1
-        even = pxp == pyp
-        is_check = tex_u == jnp.uint32(1)
-        alb0 = jnp.where(is_check & ~even, cb0, ca0)
-        alb1 = jnp.where(is_check & ~even, cb1, ca1)
-        alb2 = jnp.where(is_check & ~even, cb2, ca2)
-
-        # tangent frame quaternion (shader_space.ml:11-23)
-        eps = np.float32(1e-6)
-        gw = 1.0 + n2
-        gnorm = jax.lax.rsqrt(jnp.maximum(gw * gw + n1 * n1 + n0 * n0,
-                                          np.float32(1e-38)))
-        qw = gw * gnorm
-        qx = n1 * gnorm
-        qy = -n0 * gnorm
-        # poles: z ~ +1 -> identity; z ~ -1 -> (0, (0,1,0))
-        top = n2 > 1.0 - eps
-        bot = n2 < eps - 1.0
-        qw = jnp.where(top, 1.0, jnp.where(bot, 0.0, qw))
-        qx = jnp.where(top | bot, 0.0, qx)
-        qy = jnp.where(top, 0.0, jnp.where(bot, 1.0, qy))
-        # qz = 0 always for this construction
-
-        def rot(qw, qx, qy, v0, v1, v2, inv):
-            # rotate v by quat (qw, qx, qy, 0); inv negates the vector part
-            s = np.float32(-1.0) if inv else np.float32(1.0)
-            rx, ry = qx * s, qy * s
-            # t = 2 * cross(qv, v), qv = (rx, ry, 0)
-            t0 = 2.0 * (ry * v2)
-            t1 = 2.0 * (-rx * v2)
-            t2 = 2.0 * (rx * v1 - ry * v0)
-            # v + w*t + cross(qv, t)
-            w0 = v0 + qw * t0 + (ry * t2)
-            w1 = v1 + qw * t1 + (-rx * t2)
-            w2 = v2 + qw * t2 + (rx * t1 - ry * t0)
-            return w0, w1, w2
-
-        wi0, wi1, wi2 = rot(qw, qx, qy, -d0, -d1, -d2, False)
-
-        # LDS draws
-        off = off_ref[:]
-        u = _lds(off, limb_ref[0, 0], limb_ref[0, 1])
-        v = _lds(off, limb_ref[1, 0], limb_ref[1, 1])
-
-        # --- scatter (material.ml:22-57) ---
-        # lambertian: cosine hemisphere
-        rr = jnp.sqrt(u)
-        th = v * np.float32(2.0 * np.pi)
-        lam0 = rr * jnp.cos(th)
-        lam1 = rr * jnp.sin(th)
-        lam2 = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
-        lam_ok = lam2 > 0.0
-        # metal: mirror + tint
-        met0, met1, met2 = -wi0, -wi1, wi2
-        met_ok = met2 > 0.0
-        s5 = (1.0 - wi2)
-        s5 = s5 * s5 * s5 * s5 * s5
-        tn0 = alb0 + (1.0 - alb0) * s5
-        tn1 = alb1 + (1.0 - alb1) * s5
-        tn2 = alb2 + (1.0 - alb2) * s5
-        # dielectric
-        ci = jnp.clip(wi2, 0.0, 1.0)
-        si = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 0.0))
-        ratio = jnp.where(front, ior_inv, ior)
-        r0s = (1.0 - ratio) / (1.0 + ratio)
-        r0s = r0s * r0s
-        omc = 1.0 - ci
-        omc5 = omc * omc * omc * omc * omc
-        schl = r0s + (1.0 - r0s) * omc5
-        do_refl = (ratio * si > 1.0) | (schl > u)
-        # refract (shader_space.ml:41-49)
-        cc = jnp.minimum(wi2, 1.0)
-        pe0 = ratio * (-wi0)
-        pe1 = ratio * (-wi1)
-        pe2 = ratio * (cc - wi2)
-        para = -jnp.sqrt(jnp.abs(1.0 - (pe0 * pe0 + pe1 * pe1 + pe2 * pe2)))
-        die0 = jnp.where(do_refl, met0, pe0)
-        die1 = jnp.where(do_refl, met1, pe1)
-        die2 = jnp.where(do_refl, met2, pe2 + para)
-
-        is_met = mat_u == jnp.uint32(1)
-        is_die = mat_u == jnp.uint32(2)
-        wo0 = jnp.where(is_die, die0, jnp.where(is_met, met0, lam0))
-        wo1 = jnp.where(is_die, die1, jnp.where(is_met, met1, lam1))
-        wo2 = jnp.where(is_die, die2, jnp.where(is_met, met2, lam2))
-        am0 = jnp.where(is_die, 1.0, jnp.where(is_met, tn0, alb0))
-        am1 = jnp.where(is_die, 1.0, jnp.where(is_met, tn1, alb1))
-        am2 = jnp.where(is_die, 1.0, jnp.where(is_met, tn2, alb2))
-        ok = is_die | (is_met & met_ok) | (~is_die & ~is_met & lam_ok)
-
-        # world ray (shader_space.ml:51-54)
-        dw0, dw1, dw2 = rot(qw, qx, qy, wo0, wo1, wo2, True)
-        shadow = np.float32(1e-3)
-        no0 = p0 + shadow * dw0
-        no1 = p1 + shadow * dw1
-        no2 = p2 + shadow * dw2
-
-        # miss: background radiance (rad += attn * bg)
-        miss = alive & ~hit
-        if bg_mode == 1:
-            tt = 0.5 * (d1 + 1.0)
-            b0 = bg_ref[0, 0] * (1.0 - tt) + bg_ref[1, 0] * tt
-            b1 = bg_ref[0, 1] * (1.0 - tt) + bg_ref[1, 1] * tt
-            b2 = bg_ref[0, 2] * (1.0 - tt) + bg_ref[1, 2] * tt
-        else:
-            b0 = jnp.full_like(d0, bg_ref[0, 0])
-            b1 = jnp.full_like(d0, bg_ref[0, 1])
-            b2 = jnp.full_like(d0, bg_ref[0, 2])
-        zero = jnp.zeros_like(d0)
-        rad_ref[0] = rad_in_ref[0] + jnp.where(miss, a0 * b0, zero)
-        rad_ref[1] = rad_in_ref[1] + jnp.where(miss, a1 * b1, zero)
-        rad_ref[2] = rad_in_ref[2] + jnp.where(miss, a2 * b2, zero)
-
-        new_alive = hit & ok
-        out_st_ref[0] = jnp.where(new_alive, no0, o0)
-        out_st_ref[1] = jnp.where(new_alive, no1, o1)
-        out_st_ref[2] = jnp.where(new_alive, no2, o2)
-        out_st_ref[3] = jnp.where(new_alive, dw0, d0)
-        out_st_ref[4] = jnp.where(new_alive, dw1, d1)
-        out_st_ref[5] = jnp.where(new_alive, dw2, d2)
-        out_st_ref[6] = jnp.where(new_alive, a0 * am0, a0)
-        out_st_ref[7] = jnp.where(new_alive, a1 * am1, a1)
-        out_st_ref[8] = jnp.where(new_alive, a2 * am2, a2)
-        out_st_ref[9] = new_alive.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("bg_mode", "interpret"))

@@ -314,71 +314,79 @@ def intersect_spheres_pallas(tables, org, d, alive=None, interpret=False):
     return at, idx, at < BIG, 1.0 / a
 
 
-def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres,
-                  origin_zero=False):
-    """State-layout variant: reads rays straight from the (10, rows, LANES)
-    wavefront state (rows 0-2 origin, 3-5 direction, 9 alive) — no
-    per-bounce transposes or component copies in XLA.
+def intersect_regs(sph_ref, o0, o1, o2, d0, d1, d2, n_spheres, origin_zero):
+    """The in-register nearest-hit loop over the SMEM sphere table, shared
+    by the intersect-only kernel below and the fused bounce kernel
+    (fused_bounce_kernel.py). Returns (best_at, best_idx) registers.
 
     origin_zero: bounce-0 specialization. Scenes are pre-transformed to
     camera space so every primary ray starts at the exact origin
     (camera.ml:93-102 / the reference's scene-to-camera-space trick);
     od = oq = 0 and g = A collapse ~1/3 of the per-sphere ops, and
     bounce 0 is ~40% of all traced segments."""
+    if not origin_zero:
+        od = o0 * d0 + o1 * d1 + o2 * d2
+        oq = o0 * o0 + o1 * o1 + o2 * o2
+    # the path tracer's directions are unit by construction (camera
+    # normalize, local mirror/refract/hemisphere all preserve norm), so
+    # a = |d|^2 = 1 within one ulp: the selection key drops the /a and
+    # *a terms (the stable t in the shade kernel keeps exact a handling)
+
+    unroll = 64
+
+    def one(s, best_at, best_idx):
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        a_s = sph_ref[3, s]
+        if origin_zero:
+            bp = cx * d0 + cy * d1 + cz * d2
+            g = a_s
+        else:
+            bp = cx * d0 + cy * d1 + cz * d2 - od
+            g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
+        disc = g + bp * bp
+        # NaN-miss (the Rust kernel's trick, lib.rs:102-178): disc < 0
+        # makes sqrt NaN, both compares false, lane keeps its best —
+        # no validity mask or BIG-select needed
+        sq = jnp.sqrt(disc)
+        inside_pos = (g >= 0.0) & (bp >= 0.0)
+        at = bp + jnp.where(inside_pos, sq, -sq)
+        upd = (at < best_at) & (at >= 0.0)
+        best_at = jnp.where(upd, at, best_at)
+        best_idx = jnp.where(upd, s, best_idx)
+        return best_at, best_idx
+
+    def body(i, carry):
+        best_at, best_idx = carry
+        base = i * unroll
+        for k in range(unroll):
+            best_at, best_idx = one(base + k, best_at, best_idx)
+        return best_at, best_idx
+
+    init = (jnp.full(o0.shape, BIG, jnp.float32),
+            jnp.zeros(o0.shape, jnp.int32))
+    main = n_spheres // unroll
+    best_at, best_idx = jax.lax.fori_loop(0, main, body, init)
+    for s in range(main * unroll, n_spheres):  # static tail
+        best_at, best_idx = one(s, best_at, best_idx)
+    return best_at, best_idx
+
+
+def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres,
+                  origin_zero=False):
+    """State-layout variant: reads rays straight from the (10, rows, LANES)
+    wavefront state (rows 0-2 origin, 3-5 direction, 9 alive) — no
+    per-bounce transposes or component copies in XLA."""
     at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
     idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
     any_alive = jnp.max(st_ref[9]) > 0.0
 
     @pl.when(any_alive)
     def _run():
-        o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
-        d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
-        if not origin_zero:
-            od = o0 * d0 + o1 * d1 + o2 * d2
-            oq = o0 * o0 + o1 * o1 + o2 * o2
-        # the path tracer's directions are unit by construction (camera
-        # normalize, local mirror/refract/hemisphere all preserve norm), so
-        # a = |d|^2 = 1 within one ulp: the selection key drops the /a and
-        # *a terms (the stable t in the shade kernel keeps exact a handling)
-
-        unroll = 64
-
-        def one(s, best_at, best_idx):
-            cx = sph_ref[0, s]
-            cy = sph_ref[1, s]
-            cz = sph_ref[2, s]
-            a_s = sph_ref[3, s]
-            if origin_zero:
-                bp = cx * d0 + cy * d1 + cz * d2
-                g = a_s
-            else:
-                bp = cx * d0 + cy * d1 + cz * d2 - od
-                g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
-            disc = g + bp * bp
-            # NaN-miss (the Rust kernel's trick, lib.rs:102-178): disc < 0
-            # makes sqrt NaN, both compares false, lane keeps its best —
-            # no validity mask or BIG-select needed
-            sq = jnp.sqrt(disc)
-            inside_pos = (g >= 0.0) & (bp >= 0.0)
-            at = bp + jnp.where(inside_pos, sq, -sq)
-            upd = (at < best_at) & (at >= 0.0)
-            best_at = jnp.where(upd, at, best_at)
-            best_idx = jnp.where(upd, s, best_idx)
-            return best_at, best_idx
-
-        def body(i, carry):
-            best_at, best_idx = carry
-            base = i * unroll
-            for k in range(unroll):
-                best_at, best_idx = one(base + k, best_at, best_idx)
-            return best_at, best_idx
-
-        init = (jnp.full(o0.shape, BIG, jnp.float32),
-                jnp.zeros(o0.shape, jnp.int32))
-        main = n_spheres // unroll
-        best_at, best_idx = jax.lax.fori_loop(0, main, body, init)
-        for s in range(main * unroll, n_spheres):  # static tail
-            best_at, best_idx = one(s, best_at, best_idx)
+        best_at, best_idx = intersect_regs(
+            sph_ref, st_ref[0], st_ref[1], st_ref[2],
+            st_ref[3], st_ref[4], st_ref[5], n_spheres, origin_zero)
         at_ref[:] = best_at
         idx_ref[:] = best_idx
 
@@ -386,9 +394,9 @@ def _kernel_state(sph_ref, st_ref, at_ref, idx_ref, *, n_spheres,
 LIST_UNROLL = 8  # per-block sphere lists are padded to a multiple of this
 
 
-def _kernel_state_listed(sph_ref, list_ref, cnt_ref, st_ref, at_ref, idx_ref,
-                         *, origin_zero):
-    """Per-block-list variant of _kernel_state: each 1024-ray block (one
+def intersect_regs_listed(sph_ref, list_ref, cnt_ref, blk,
+                          o0, o1, o2, d0, d1, d2, origin_zero):
+    """Per-block-list variant of intersect_regs: the 1024-ray block (one
     32x32 image tile at bounce 0 in tiled ray order) loops only over ITS
     frustum-culled sphere list (SMEM, indices into the global table) instead
     of the whole scene. The reference gets the same effect from its BVH's
@@ -397,6 +405,46 @@ def _kernel_state_listed(sph_ref, list_ref, cnt_ref, st_ref, at_ref, idx_ref,
     equivalent. List entries are global sphere indices sorted ascending, so
     argmin tie-breaking matches the brute-force kernel; padding duplicates
     the first entry (a duplicate test can never steal the strict < min)."""
+    if not origin_zero:
+        od = o0 * d0 + o1 * d1 + o2 * d2
+        oq = o0 * o0 + o1 * o1 + o2 * o2
+
+    def one(j, best_at, best_idx):
+        s = list_ref[blk, j]
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        a_s = sph_ref[3, s]
+        if origin_zero:
+            bp = cx * d0 + cy * d1 + cz * d2
+            g = a_s
+        else:
+            bp = cx * d0 + cy * d1 + cz * d2 - od
+            g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
+        disc = g + bp * bp
+        sq = jnp.sqrt(disc)  # NaN-miss: see intersect_regs
+        inside_pos = (g >= 0.0) & (bp >= 0.0)
+        at = bp + jnp.where(inside_pos, sq, -sq)
+        upd = (at < best_at) & (at >= 0.0)
+        best_at = jnp.where(upd, at, best_at)
+        best_idx = jnp.where(upd, s, best_idx)
+        return best_at, best_idx
+
+    def body(i, carry):
+        best_at, best_idx = carry
+        base = i * LIST_UNROLL
+        for k in range(LIST_UNROLL):
+            best_at, best_idx = one(base + k, best_at, best_idx)
+        return best_at, best_idx
+
+    init = (jnp.full(o0.shape, BIG, jnp.float32),
+            jnp.zeros(o0.shape, jnp.int32))
+    steps = cnt_ref[blk, 0] // LIST_UNROLL  # count padded to a multiple
+    return jax.lax.fori_loop(0, steps, body, init)
+
+
+def _kernel_state_listed(sph_ref, list_ref, cnt_ref, st_ref, at_ref, idx_ref,
+                         *, origin_zero):
     at_ref[:] = jnp.full(at_ref.shape, BIG, jnp.float32)
     idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
     any_alive = jnp.max(st_ref[9]) > 0.0
@@ -406,44 +454,9 @@ def _kernel_state_listed(sph_ref, list_ref, cnt_ref, st_ref, at_ref, idx_ref,
 
     @pl.when(any_alive)
     def _run():
-        o0, o1, o2 = st_ref[0], st_ref[1], st_ref[2]
-        d0, d1, d2 = st_ref[3], st_ref[4], st_ref[5]
-        if not origin_zero:
-            od = o0 * d0 + o1 * d1 + o2 * d2
-            oq = o0 * o0 + o1 * o1 + o2 * o2
-
-        def one(j, best_at, best_idx):
-            s = list_ref[blk, j]
-            cx = sph_ref[0, s]
-            cy = sph_ref[1, s]
-            cz = sph_ref[2, s]
-            a_s = sph_ref[3, s]
-            if origin_zero:
-                bp = cx * d0 + cy * d1 + cz * d2
-                g = a_s
-            else:
-                bp = cx * d0 + cy * d1 + cz * d2 - od
-                g = a_s + 2.0 * (cx * o0 + cy * o1 + cz * o2) - oq
-            disc = g + bp * bp
-            sq = jnp.sqrt(disc)  # NaN-miss: see _kernel_state
-            inside_pos = (g >= 0.0) & (bp >= 0.0)
-            at = bp + jnp.where(inside_pos, sq, -sq)
-            upd = (at < best_at) & (at >= 0.0)
-            best_at = jnp.where(upd, at, best_at)
-            best_idx = jnp.where(upd, s, best_idx)
-            return best_at, best_idx
-
-        def body(i, carry):
-            best_at, best_idx = carry
-            base = i * LIST_UNROLL
-            for k in range(LIST_UNROLL):
-                best_at, best_idx = one(base + k, best_at, best_idx)
-            return best_at, best_idx
-
-        init = (jnp.full(o0.shape, BIG, jnp.float32),
-                jnp.zeros(o0.shape, jnp.int32))
-        steps = cnt_ref[blk, 0] // LIST_UNROLL  # count padded to a multiple
-        best_at, best_idx = jax.lax.fori_loop(0, steps, body, init)
+        best_at, best_idx = intersect_regs_listed(
+            sph_ref, list_ref, cnt_ref, blk, st_ref[0], st_ref[1],
+            st_ref[2], st_ref[3], st_ref[4], st_ref[5], origin_zero)
         at_ref[:] = best_at
         idx_ref[:] = best_idx
 
