@@ -122,8 +122,14 @@ def make_intersector(scene: SphereScene, backend: str, intersect_fn=None,
                 # primary-ray kernel, ops/pallas/tile_tri_kernel.py)
                 t_m, u_m, v_m, idx_m, hit_m = mesh_intersect(org, d, alive)
             else:
+                # cap the walk at the pool winner's t — the reference's
+                # floor-then-mesh two-phase intersect passes the floor hit
+                # as the mesh query's t_max (ganesha/bin/main.ml:286-298);
+                # slab tests against the tighter bound prune whole subtrees
+                # behind the analytic floor
                 t_m, u_m, v_m, idx_m, hit_m = mesh.intersect(
-                    org, d, active=alive, table=mc.get("table"))
+                    org, d, t_max0=t_cur, active=alive,
+                    table=mc.get("table"))
             use_mesh = hit_m & (t_m < t_cur)
             use_tri = use_tri & ~use_mesh
             hit = hit | hit_m
