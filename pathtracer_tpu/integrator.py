@@ -213,7 +213,7 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
           background: Callable, intersect_fn=None, select_mode: str = "gather",
           backend: str | None = None, alive0=None, mesh=None,
           mesh_consts=None, origin_zero: bool = False, block_lists0=None,
-          raw_planes: bool = False):
+          raw_planes: bool = False, mesh_intersect0=None):
     """Trace a wavefront of rays to completion; returns (radiance (N,3),
     segments traced (scalar int32)). raw_planes: the fused-kernel path MAY
     return radiance as (3, N//128, 128) planes instead (callers must
@@ -268,10 +268,19 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
     segments = jnp.zeros((), jnp.int32)
     hit_setup = make_intersector(scene, backend, intersect_fn, select_mode,
                                  mesh=mesh)
+    # bounce 0 may swap the mesh-BVH walk for the tile-culled primary-ray
+    # kernel (ops/pallas/tile_tri_kernel.py): tile-major origin-zero rays
+    # only, so callers gate it; padding would break the tile/block match
+    hit_setup0 = hit_setup
+    if mesh_intersect0 is not None and mesh is not None and not n_pad:
+        hit_setup0 = make_intersector(scene, backend, intersect_fn,
+                                      select_mode, mesh=mesh,
+                                      mesh_intersect=mesh_intersect0)
 
     for bounce in range(max_bounces):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
-        h = hit_setup(org, d, alive, mesh_consts)
+        h = (hit_setup0 if bounce == 0 else hit_setup)(org, d, alive,
+                                                       mesh_consts)
         hit = h["hit"] & alive
         miss = alive & ~hit
         rad = rad + vec.where3(miss, attn * background(d), jnp.zeros_like(rad))
@@ -717,8 +726,44 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
 
             return band_pass_fn
 
+        # Tile-culled bounce-0 mesh kernel (the PT analog of the PPM eye
+        # pass's tile PVS, ops/pallas/tile_tri_kernel.py): cull the mesh
+        # once on the host against each 32x32 tile's frustum (flip_y=True —
+        # the path tracer's film map is cy = 1 - y/H) and swap the bounce-0
+        # BVH walk for the listed Pallas kernel. PT tile-major lanes ARE
+        # the kernel's block layout, so no lane permutation is needed.
+        # PATHTRACER_PT_TILE_TRI=0 disables (walk everywhere), =1 forces it
+        # on CPU in interpret mode (tests).
+        tt_env = os.environ.get("PATHTRACER_PT_TILE_TRI", "")
+        tt_static = None
+        if (mesh is not None and backend != "xla" and tt_env != "0"
+                and (tt_env == "1" or jax.default_backend() == "tpu")):
+            tt_static = (tyn * txn, jax.default_backend() != "tpu")
+
+        _tt_cache = []
+
+        def tile_tri_arrays():
+            """Lazy host cull: only callers that thread the result into
+            tiled_pass_fn (make_render_fn) pay for the table build."""
+            if tt_static is None:
+                return None
+            if not _tt_cache:
+                from .ops.pallas import tile_tri_kernel as ttk
+                bf = (getattr(mesh, "watertight", False)
+                      and os.environ.get("PATHTRACER_TILE_BACKFACE",
+                                         "1") != "0")
+                tt = ttk.build_tile_tri_table(
+                    camera, np.asarray(mesh.tri_a), np.asarray(mesh.tri_e1),
+                    np.asarray(mesh.tri_e2), width, height, bvh=mesh,
+                    backface_cull=bf, flip_y=True)
+                bands, tt_tiles = ttk.band_chunk_maps(tt, hp)
+                assert tt_tiles == tyn * txn, (tt_tiles, tyn, txn)
+                _tt_cache.append((tt.table,) + tuple(bands[0]))
+            return _tt_cache[0]
+
         def tiled_pass_fn(scene: SphereScene, pass_idx, row_ids=None,
-                          mesh_consts=None, block_lists=None, raw=False):
+                          mesh_consts=None, block_lists=None, raw=False,
+                          tile_tri=None):
             """raw=True: return radiance in flat tile-major order (the trace
             layout) so a pass loop can accumulate across passes WITHOUT a
             per-pass untile transpose — callers untile the SUM once (see
@@ -736,11 +781,33 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
             org = jnp.zeros_like(dirs)
             alive0 = jnp.broadcast_to(jnp.asarray(valid_ord),
                                       offset.shape).reshape(-1)
+            mi0 = None
+            if tile_tri is not None and tt_static is not None and not lead:
+                from .ops.pallas import tile_tri_kernel as ttk
+                table_j, cs_j, ct_j, cf_j = tile_tri
+                n_t, tt_interp = tt_static
+
+                def mi0(org0, d0, alive_m):
+                    # org0 unused: primaries all start at the origin and
+                    # the per-tile culled lists replace the BVH walk
+                    nr = n_t * ttk.BLOCK_ROWS
+                    d_rows = jnp.concatenate(
+                        [d0.T.reshape(3, nr, ttk.LANES),
+                         jnp.zeros((3, ttk.BLOCK_ROWS, ttk.LANES),
+                                   d0.dtype)], axis=1)
+                    t_k, u_k, v_k, i_k = ttk.intersect_tile_tris_pallas(
+                        table_j, cs_j, ct_j, cf_j, d_rows, n_t,
+                        interpret=tt_interp)
+                    cut = lambda o: o[:nr].reshape(-1)
+                    t_k = cut(t_k)
+                    return (t_k, cut(u_k), cut(v_k), cut(i_k),
+                            (t_k < ttk.BIG) & alive_m)
             rad, segs = trace(scene, sampler, org, dirs, offset.reshape(-1),
                               max_bounces, background, intersect_fn,
                               select_mode, backend, alive0=alive0, mesh=mesh,
                               mesh_consts=mesh_consts, origin_zero=True,
-                              block_lists0=block_lists, raw_planes=raw)
+                              block_lists0=block_lists, raw_planes=raw,
+                              mesh_intersect0=mi0)
             if raw and rad.ndim == 3:
                 # fused-kernel plane layout (3, lead*rows, 128): sum the
                 # lead dim and hand the planes straight to the scan carry
@@ -761,6 +828,7 @@ def make_pass_fn(camera: Camera, background: Callable, width: int, height: int,
 
         tiled_pass_fn.untile = untile_planes
         tiled_pass_fn.raw_shape = (3, tyn * txn * TILE * TILE // 128, 128)
+        tiled_pass_fn.tile_tri_arrays = tile_tri_arrays
         return tiled_pass_fn
 
     def pass_fn(scene: SphereScene, pass_idx, row_ids=None,
@@ -854,12 +922,14 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
     untile = getattr(pass_fn, "untile", None)
 
     @jax.jit
-    def render_impl(scene: SphereScene, mesh_consts, block_lists):
+    def render_impl(scene: SphereScene, mesh_consts, block_lists, tile_tri):
         def body(sums, p_mat):
             total = sums
             segs = jnp.zeros((), jnp.int32)
             for k in range(chains):
                 kw = {"raw": True} if untile is not None else {}
+                if tile_tri is not None:
+                    kw["tile_tri"] = tile_tri
                 s, g = pass_fn(scene, p_mat[k] if pb > 1 else p_mat[k, 0],
                                mesh_consts=mesh_consts,
                                block_lists=block_lists, **kw)
@@ -897,6 +967,14 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
     # mesh device arrays ride as jit ARGUMENTS (not closure constants,
     # which multiply XLA compile time — see MeshBVH.device_consts)
     consts = mesh.device_consts() if mesh is not None else None
+    tt_dev = None
+    tt_get = getattr(pass_fn, "tile_tri_arrays", None)
+    tt_arrays = tt_get() if tt_get is not None else None
+    if tt_arrays is not None:
+        tt_dev = tuple(jnp.asarray(x) for x in tt_arrays)
+        # force the bulk table upload to complete before first use (lazy
+        # uploads through the TPU tunnel stall the first execution)
+        jax.block_until_ready(tt_dev)
 
     def run(scene):
         bl = None
@@ -905,7 +983,7 @@ def make_render_fn(camera: Camera, background: Callable, width: int, height: int
                 camera, np.asarray(scene.center), np.asarray(scene.radius),
                 np.asarray(scene.valid), width, height)
             bl = (jnp.asarray(lists), jnp.asarray(counts))
-        return render_impl(scene, consts, bl)
+        return render_impl(scene, consts, bl, tt_dev)
 
     return run
 

@@ -168,22 +168,25 @@ class TileTriTable:
         return self.table.shape[1] // CHUNK - 1
 
 
-def _tile_planes(camera, width, height, tx_n, ty_n):
-    """(T, 5, 3) plane normals per tile, film convention of the PPM eye
-    pass: cy = y/H, NO y flip (ppm.ml:311-315 flips at write time instead —
-    the path tracer's PVS passes flip_y=True; see ops/frustum.py)."""
+def _tile_planes(camera, width, height, tx_n, ty_n, flip_y=False):
+    """(T, 5, 3) plane normals per tile. flip_y picks the consumer's film
+    convention (LOAD-BEARING, see ops/frustum.py): the PPM eye pass maps
+    cy = y/H with no flip (ppm.ml:311-315 flips at write time instead);
+    the path tracer maps cy = 1 - y/H and needs flip_y=True."""
     from ..frustum import tile_frustum_planes
 
     return tile_frustum_planes(camera, width, height, tx_n, ty_n,
-                               flip_y=False, with_z_plane=True, tile=TILE)
+                               flip_y=flip_y, with_z_plane=True, tile=TILE)
 
 
-def _tile_corner_dirs(camera, width, height, tx_n, ty_n):
-    """(T, 4, 3) f64 corner directions per tile, PPM film convention
-    (cy = y/H, no flip — matches _tile_planes). A planar tile's rays are
-    exactly the conical hull of these 4 directions (ops/frustum.py)."""
+def _tile_corner_dirs(camera, width, height, tx_n, ty_n, flip_y=False):
+    """(T, 4, 3) f64 corner directions per tile, same film convention
+    switch as _tile_planes. A planar tile's rays are exactly the conical
+    hull of these 4 directions (ops/frustum.py)."""
     xs = np.arange(tx_n + 1) * (TILE / width)
     ys = np.arange(ty_n + 1) * (TILE / height)
+    if flip_y:
+        ys = 1.0 - ys
     cx = np.broadcast_to(xs[None, :], (ty_n + 1, tx_n + 1))
     cy = np.broadcast_to(ys[:, None], (ty_n + 1, tx_n + 1))
     dirs = np.stack([camera.lower_left_x + camera.view_x * cx,
@@ -195,7 +198,8 @@ def _tile_corner_dirs(camera, width, height, tx_n, ty_n):
 
 def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
                          width: int, height: int, bvh=None,
-                         backface_cull: bool = False) -> TileTriTable:
+                         backface_cull: bool = False,
+                         flip_y: bool = False) -> TileTriTable:
     """Conservative cull of every triangle's AABB against every 32x32 tile
     frustum (p-vertex vs inward halfspace), then gather the survivors into
     the flat chunk table. Indices stay ascending per tile so the kernel's
@@ -230,7 +234,8 @@ def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
 
     tx_n = -(-width // TILE)
     ty_n = -(-height // TILE)
-    planes = _tile_planes(camera, width, height, tx_n, ty_n)  # (T,5,3)
+    planes = _tile_planes(camera, width, height, tx_n, ty_n,
+                          flip_y=flip_y)  # (T,5,3)
     t_n = planes.shape[0]
 
     from ...native import alloc_big
@@ -277,7 +282,8 @@ def build_tile_tri_table(camera, tri_a, tri_e1, tri_e2,
         # iff positive), so the test is orientation-agnostic. Measured on
         # the 449k-tri ganesha shell at 600x600: 57.6% of tile-list rows
         # drop (tools/proto_backface_cull.py).
-        corners = _tile_corner_dirs(camera, width, height, tx_n, ty_n)
+        corners = _tile_corner_dirs(camera, width, height, tx_n, ty_n,
+                                    flip_y=flip_y)
         e1d = tri_e1.astype(np.float64)
         e2d = tri_e2.astype(np.float64)
         normals = np.cross(e1d, e2d)

@@ -144,6 +144,47 @@ def test_ppm_tile_primary_matches_walk(tmp_path):
     np.testing.assert_allclose(tile_img, walk_img, rtol=1e-3, atol=1e-4)
 
 
+def test_pt_tile_primary_matches_walk(tmp_path):
+    """Path-traced mesh pass (tiled composite tier) with the tile-culled
+    bounce-0 kernel vs the BVH walk at every bounce: same radiance up to
+    MT op-order ulps, same segment count (the conservative cull + the
+    shared MT acceptance rule cannot change any winner)."""
+    import os
+
+    import jax
+
+    from tools.make_test_mesh import uv_sphere
+    from pathtracer_tpu.io import ply
+    from pathtracer_tpu.models import ganesha
+    from pathtracer_tpu.integrator import make_pass_fn
+
+    verts, faces = uv_sphere(12, 8, np.array([328.0, 60.0, 150.0]), 45.0)
+    path = os.path.join(str(tmp_path), "tiny_ganesha.ply")
+    ply.write_mesh(path, verts, faces)
+    scene, cam, bg, mesh = ganesha.build_pt(path, 1.0)
+    W, H, SPP, B = 64, 64, 1, 4
+    consts = mesh.device_consts()
+    outs = []
+    for knob in ("0", "1"):
+        os.environ["PATHTRACER_PT_TILE_TRI"] = knob
+        try:
+            pf = make_pass_fn(cam, bg, W, H, SPP, B,
+                              backend="pallas2_interpret", tiled=True,
+                              mesh=mesh)
+            arrs = pf.tile_tri_arrays()
+            assert (arrs is not None) == (knob == "1")
+            tt = (tuple(jnp.asarray(x) for x in arrs)
+                  if arrs is not None else None)
+            rad, segs = pf(scene, 0, mesh_consts=consts, tile_tri=tt)
+        finally:
+            os.environ.pop("PATHTRACER_PT_TILE_TRI", None)
+        outs.append((np.asarray(rad), int(segs)))
+    (img_w, segs_w), (img_t, segs_t) = outs
+    assert np.isfinite(img_t).all() and img_t.max() > 0
+    assert segs_t == segs_w
+    np.testing.assert_allclose(img_t, img_w, rtol=1e-3, atol=1e-4)
+
+
 def test_bvh_cull_is_conservative_superset_of_brute():
     """The BVH-guided tile cull (native.tile_cull_native) must accept a
     SUPERSET of the brute-force sgemm accepts per tile (any conservative
