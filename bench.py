@@ -34,9 +34,14 @@ Prints one JSON line per metric {"metric", "value", "unit", "vs_baseline"}:
 6. ganesha_pt: the same 449k-tri mesh path-traced (BVH8-walk wavefront,
    spp=8 b=8) in honest Mrays/s — the PPM segments-rate optics problem of
    BENCH_r04 (a gather-bound scene scored in ray units) is retired by
-   benching the mesh in ray units on an actual ray workload.
-7. bench_geomean_vs_baseline — rollup over the perf metrics above,
-   printed LAST so the driver's parsed field summarizes the round.
+   benching the mesh in ray units on an actual ray workload. DIAGNOSTIC,
+   excluded from the rollup: the reference never path-traces the mesh
+   (its ganesha is PPM-only), so this config has no reference baseline —
+   see _run_ganesha_pt's docstring.
+7. bench_geomean_vs_baseline — rollup over the perf metrics that have
+   reference-anchored baselines (shirley canonical + HQ Mrays/s, cornell
+   + ganesha PPM s/iter), printed LAST so the driver's parsed field
+   summarizes the round.
 
 PPM scenes are skipped (with a comment line) if their setup fails, so a
 regression there can never hide the headline metric.
@@ -242,7 +247,16 @@ def _run_hq():
 
 
 def _run_ganesha_pt():
-    """Path-traced ganesha (BVH8-walk wavefront) in honest Mrays/s."""
+    """Path-traced ganesha (BVH8-walk wavefront) in honest Mrays/s.
+
+    DIAGNOSTIC (rollup=False): the reference never path-traces the mesh —
+    its ganesha executable is PPM-only (ganesha/bin/main.ml), so none of
+    BASELINE.json's five reference-anchored configs covers this workload
+    and the 62.5 Mrays/s/chip sphere-scene north-star share printed as
+    vs_baseline is a continuity number, not a baseline: a 449k-triangle
+    BVH walk over incoherent bounce rays costs orders of magnitude more
+    per ray than a 10-sphere brute-force test. The rollup stays a geomean
+    over configs that HAVE reference baselines."""
     from pathtracer_tpu.integrator import make_render_fn
     from pathtracer_tpu.models import ganesha
 
@@ -260,7 +274,7 @@ def _run_ganesha_pt():
     mrays = segments / best / 1e6
     n_chips = len(jax.devices())
     emit("ganesha_pt_600x600_spp8_b8_mrays_per_sec", round(mrays, 3),
-         "Mrays/s", mrays / (62.5 * n_chips))
+         "Mrays/s", mrays / (62.5 * n_chips), rollup=False)
     print(f"# ganesha_pt segments={segments} best_wall={best:.4f}s",
           file=sys.stderr)
 

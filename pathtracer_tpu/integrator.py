@@ -277,13 +277,15 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
                                       select_mode, mesh=mesh,
                                       mesh_intersect=mesh_intersect0)
 
-    for bounce in range(max_bounces):
+    def bounce_step(bounce, org, d, attn, rad, alive, segments, offset):
+        """One bounce at whatever (static) lane width the args carry."""
         segments = segments + jnp.sum(alive.astype(jnp.int32))
         h = (hit_setup0 if bounce == 0 else hit_setup)(org, d, alive,
                                                        mesh_consts)
         hit = h["hit"] & alive
         miss = alive & ~hit
-        rad = rad + vec.where3(miss, attn * background(d), jnp.zeros_like(rad))
+        rad = rad + vec.where3(miss, attn * background(d),
+                               jnp.zeros_like(rad))
 
         q = shading.shader_quat(h["normal"])
         omega_i = quat_ops.rotate(q, -d)
@@ -296,10 +298,106 @@ def trace(scene: SphereScene, sampler: Sampler, org, d, offset, max_bounces: int
         dir_world = quat_ops.rotate_inv(q, wo)
         new_org = shading.world_ray(h["point"], dir_world)
 
-        alive = hit & ok
-        org = vec.where3(alive, new_org, org)
-        d = vec.where3(alive, dir_world, d)
-        attn = jnp.where(alive[..., None], attn * attn_mult, attn)
+        alive2 = hit & ok
+        org = vec.where3(alive2, new_org, org)
+        d = vec.where3(alive2, dir_world, d)
+        attn = jnp.where(alive2[..., None], attn * attn_mult, attn)
+        return org, d, attn, rad, alive2, segments
+
+    # Mesh-walk lane compaction (the path-traced analog of ppm.py's
+    # specular-walk ladder): a mesh scene's lanes die as they escape to
+    # the sky — measured on ganesha (tools/profile_ganesha_pt.py,
+    # 600x600 spp=8): ~94% live at bounce 1 but ~35% by bounce 2 and
+    # <10% by bounce 4. At each compaction bounce the live lanes are
+    # argsort-packed to the front and the remaining bounces run inside a
+    # lax.switch branch whose arrays are PHYSICALLY 1/divisor of the
+    # wavefront (rounded up to the kernel block); an overflow of live
+    # lanes falls back to the full-width branch, so any plan is safe.
+    # Per-lane math is unchanged. DEFAULT OFF: hardware A/B at the
+    # ganesha_pt config (plan 2:2,4:8) measured 0.653 s vs 0.646 s
+    # uncompacted with identical segments — the walk driver's coherence
+    # sort already packs dead lanes into tail chunks whose while-loops
+    # exit in one step, so shrinking the physical width only re-buys
+    # that with extra argsort/scatter/switch overhead (same verdict as
+    # the cornell eye-walk ladder, tools/ab_eye_compact.py).
+    # PATHTRACER_PT_COMPACT: "bounce:divisor,..." enables the ladder
+    # ("0"/unset = off; malformed values are ignored).
+    compact_plan = ()
+    if mesh is not None and max_bounces > 2:
+        env = os.environ.get("PATHTRACER_PT_COMPACT", "")
+        plan = []
+        if env and env != "0":
+            try:
+                plan = [(int(kv.split(":")[0]), int(kv.split(":")[1]))
+                        for kv in env.split(",")]
+            except (ValueError, IndexError):
+                pass
+        compact_plan = tuple(sorted(dict(
+            (b, dv) for b, dv in plan
+            if 1 <= b < max_bounces and dv > 1).items()))
+
+    blk = (sk.RAY_BLOCK
+           if (intersect_fn is None and backend.startswith("pallas")) else 8)
+
+    def compact_run(b0, b1, dv, org, d, attn, rad, alive, segments, offset):
+        p = -(-max(np_tot // dv, 1) // blk) * blk
+        if p >= np_tot:  # divisor too shallow to shrink: run plain
+            for b in range(b0, b1):
+                org, d, attn, rad, alive, segments = bounce_step(
+                    b, org, d, attn, rad, alive, segments, offset)
+            return org, d, attn, rad, alive, segments
+        n_live = jnp.sum(alive.astype(jnp.int32))
+        # stable: live lanes keep their relative (tile) order, preserving
+        # the spatial coherence the walk driver's chunking relies on
+        perm = jnp.argsort(jnp.where(alive, 0, 1).astype(jnp.int32))
+
+        def full_branch(org_f, d_f, attn_f, offset_f):
+            o2, d2, a2 = org_f, d_f, attn_f
+            r2 = jnp.zeros_like(rad)
+            al2, s2 = alive, jnp.zeros((), jnp.int32)
+            for b in range(b0, b1):
+                o2, d2, a2, r2, al2, s2 = bounce_step(
+                    b, o2, d2, a2, r2, al2, s2, offset_f)
+            return o2, d2, a2, r2, al2, s2
+
+        def prefix_branch(org_f, d_f, attn_f, offset_f):
+            idx = perm[:p]
+            o2, d2, a2 = org_f[idx], d_f[idx], attn_f[idx]
+            r2 = jnp.zeros((p, 3), org_f.dtype)
+            al2, s2 = alive[idx], jnp.zeros((), jnp.int32)
+            off2 = offset_f[idx]
+            for b in range(b0, b1):
+                o2, d2, a2, r2, al2, s2 = bounce_step(
+                    b, o2, d2, a2, r2, al2, s2, off2)
+            # scatter the prefix back over the full wavefront; lanes
+            # outside the prefix are dead (n_live <= p on this branch),
+            # so passthrough keeps them exactly
+            return (org_f.at[idx].set(o2), d_f.at[idx].set(d2),
+                    attn_f.at[idx].set(a2),
+                    jnp.zeros_like(rad).at[idx].set(r2),
+                    jnp.zeros((np_tot,), bool).at[idx].set(al2), s2)
+
+        sel = (n_live <= p).astype(jnp.int32)
+        o, dd, a, r_delta, al, s_delta = lax.switch(
+            sel, [full_branch, prefix_branch], org, d, attn, offset)
+        # deltas: live lanes enter a stage with rad == 0 (radiance only
+        # accrues on the terminating miss), so adding is exact
+        return o, dd, a, rad + r_delta, al, segments + s_delta
+
+    cuts = [b for b, _ in compact_plan]
+    div = dict(compact_plan)
+    starts = [0] + cuts
+    ends = cuts + [max_bounces]
+    for b0, b1 in zip(starts, ends):
+        if b1 <= b0:
+            continue
+        if b0 in div:
+            org, d, attn, rad, alive, segments = compact_run(
+                b0, b1, div[b0], org, d, attn, rad, alive, segments, offset)
+        else:
+            for bounce in range(b0, b1):
+                org, d, attn, rad, alive, segments = bounce_step(
+                    bounce, org, d, attn, rad, alive, segments, offset)
     if n_pad:
         rad = rad[:n]
     return rad, segments
